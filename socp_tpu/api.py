@@ -1,0 +1,145 @@
+"""Public solver API: host-side padding/layout, jitted core, unpadding.
+
+    sol  = socp_tpu.solve(problem)                  # one SOCP
+    sols = socp_tpu.solve_batch(c, G, h, dims)      # B SOCPs in lockstep
+
+`solve_batch` is the DP path from SURVEY.md 2.3: B independent instances
+vmapped into one jitted lockstep IPM; converged instances freeze via the
+`done` mask while the rest keep iterating.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from socp_tpu.cones.layout import ConeLayout, make_layout
+from socp_tpu.config import DEFAULT_CONFIG, SolverConfig
+from socp_tpu.ipm import driver
+from socp_tpu.problem import ConeDims, SocpProblem
+from socp_tpu.solution import Solution, Status
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled(layout: ConeLayout, cfg: SolverConfig, has_P: bool, batched: bool,
+              batch_A: bool, batch_P: bool):
+    core = functools.partial(driver.solve_core, layout, cfg, has_P=has_P)
+    if batched:
+        in_axes = (0, 0, 0, 0 if batch_A else None, 0 if batch_A else None,
+                   0 if batch_P else None)
+        core = jax.vmap(core, in_axes=in_axes)
+    return jax.jit(core)
+
+
+def _empty_A(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    return np.zeros((0, n)), np.zeros((0,))
+
+
+def solve(
+    prob: SocpProblem,
+    config: SolverConfig = DEFAULT_CONFIG,
+    dtype=None,
+    verbose: Optional[bool] = None,
+) -> Solution:
+    """Solve one SOCP (optionally with quadratic objective P)."""
+    if verbose is not None and verbose != config.verbose:
+        config = SolverConfig(**{**config.__dict__, "verbose": verbose})
+    dtype = dtype or default_dtype()
+    layout = make_layout(prob.dims, config.bucket_multiple)
+    has_P = prob.P is not None
+    Gp = jnp.asarray(layout.pad_rows(prob.G), dtype)
+    hp = jnp.asarray(layout.pad_vec(prob.h), dtype)
+    c = jnp.asarray(prob.c, dtype)
+    A = jnp.asarray(prob.A, dtype)
+    b = jnp.asarray(prob.b, dtype)
+    P = jnp.asarray(prob.P if has_P else np.zeros((0, 0)), dtype)
+
+    fn = _compiled(layout, config, has_P, batched=False, batch_A=False,
+                   batch_P=False)
+    x, y, s, z, status, k, stats = fn(c, Gp, hp, A, b, P)
+    stats = np.asarray(stats, np.float64)
+    return Solution(
+        x=np.asarray(x, np.float64),
+        y=np.asarray(y, np.float64),
+        s=layout.unpad_vec(np.asarray(s, np.float64)),
+        z=layout.unpad_vec(np.asarray(z, np.float64)),
+        status=Status(int(status)),
+        iterations=int(k),
+        pcost=float(stats[0]),
+        dcost=float(stats[1]),
+        gap=float(stats[2]),
+        relgap=float(stats[3]),
+        pres=float(stats[4]),
+        dres=float(stats[5]),
+    )
+
+
+def solve_batch(
+    c: np.ndarray,              # (B, n)
+    G: np.ndarray,              # (B, m, n)
+    h: np.ndarray,              # (B, m)
+    dims: ConeDims,
+    A: Optional[np.ndarray] = None,   # (p, n) shared or (B, p, n)
+    b: Optional[np.ndarray] = None,
+    P: Optional[np.ndarray] = None,   # (n, n) shared or (B, n, n)
+    config: SolverConfig = DEFAULT_CONFIG,
+    dtype=None,
+) -> list[Solution]:
+    """Solve B same-shaped SOCPs in lockstep (vmapped jitted IPM)."""
+    out = solve_batch_raw(c, G, h, dims, A=A, b=b, P=P, config=config,
+                          dtype=dtype)
+    x, y, s, z, status, k, stats = out
+    B = x.shape[0]
+    return [
+        Solution(
+            x=x[i], y=y[i], s=s[i], z=z[i],
+            status=Status(int(status[i])),
+            iterations=int(k[i]),
+            pcost=float(stats[i, 0]),
+            dcost=float(stats[i, 1]),
+            gap=float(stats[i, 2]),
+            relgap=float(stats[i, 3]),
+            pres=float(stats[i, 4]),
+            dres=float(stats[i, 5]),
+        )
+        for i in range(B)
+    ]
+
+
+def solve_batch_raw(
+    c, G, h, dims: ConeDims, A=None, b=None, P=None,
+    config: SolverConfig = DEFAULT_CONFIG, dtype=None,
+):
+    """Batched solve returning raw stacked arrays (for benchmarking: keeps
+    everything on device; unpadding done host-side in NumPy)."""
+    dtype = dtype or default_dtype()
+    layout = make_layout(dims, config.bucket_multiple)
+    B, n = np.shape(c)
+    has_P = P is not None
+    batch_A = A is not None and np.ndim(A) == 3
+    batch_P = has_P and np.ndim(P) == 3
+    if A is None:
+        A, b = _empty_A(n, dtype)
+    if P is None:
+        P = np.zeros((0, 0))
+
+    Gp = jnp.asarray(layout.pad_rows(np.asarray(G)), dtype)
+    hp = jnp.asarray(layout.pad_vec(np.asarray(h)), dtype)
+    fn = _compiled(layout, config, has_P, batched=True, batch_A=batch_A,
+                   batch_P=batch_P)
+    x, y, s, z, status, k, stats = fn(
+        jnp.asarray(c, dtype), Gp, hp, jnp.asarray(A, dtype),
+        jnp.asarray(b, dtype), jnp.asarray(P, dtype)
+    )
+    s = layout.unpad_vec(np.asarray(s, np.float64))
+    z = layout.unpad_vec(np.asarray(z, np.float64))
+    return (np.asarray(x, np.float64), np.asarray(y, np.float64), s, z,
+            np.asarray(status), np.asarray(k), np.asarray(stats, np.float64))

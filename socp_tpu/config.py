@@ -1,0 +1,54 @@
+"""Solver configuration (static under jit) and result types.
+
+SURVEY.md section 5 ("Config / flag system"): a frozen dataclass whose fields
+are all hashable Python scalars, passed as a static argument to the jitted
+solver core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class KKTStrategy(enum.Enum):
+    """How the per-iteration KKT system is factored (SURVEY.md section 7.1)."""
+
+    DENSE = "dense"            # condensed normal equations, one dense Cholesky
+    BLOCK_SCHUR = "block_schur"  # per-block Cholesky + psum-reduced Schur complement
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    max_iter: int = 50
+    abstol: float = 1e-8
+    reltol: float = 1e-8
+    feastol: float = 1e-8
+    step_frac: float = 0.99
+    # Static regularization added to the *equilibrated* (unit-diagonal)
+    # condensed-system diagonals — i.e. relative to each row's own scale.
+    # Keeps the Cholesky PD when the IPM KKT turns numerically indefinite
+    # near convergence (kappa ~ 1/mu^2); accuracy is restored by iterative
+    # refinement (SURVEY.md section 7.3.1).
+    delta_reg: float = 1e-11
+    # Augmented-Lagrangian weight rho on A'A in the condensed (1,1) block.
+    # Makes H = P + rho A'A + G'W^-2 G positive definite under the standard
+    # well-posedness assumption rank([P;A;G]) = n, with an EXACT dy
+    # correction (no perturbation).  Only used when equality constraints
+    # are present.
+    aug_rho: float = 1.0
+    # Iterative-refinement rounds applied to every KKT solve (residual of the
+    # full 3x3 system, re-solve with the cached factorization, correct).
+    refine_steps: int = 1
+    # Compute residuals/refinement in f64 even when iterates are f32.
+    refine_in_f64: bool = False
+    kkt: KKTStrategy = KKTStrategy.DENSE
+    # SOC bucket granularity: block dims are padded up to a multiple of this
+    # (and to >= 2) so heterogeneous cones batch into dense bucket arrays.
+    bucket_multiple: int = 8
+    # Use Pallas TPU kernels for the hot ops where available.
+    use_pallas: bool = False
+    verbose: bool = False
+
+
+DEFAULT_CONFIG = SolverConfig()

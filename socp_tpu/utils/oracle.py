@@ -425,7 +425,9 @@ def solve(
         "z": z,
         "status": status,
         "status_name": STATUS_NAMES[status],
-        "iterations": niter + 1,
+        # number of steps applied (= KKT factorizations - 1 when converged;
+        # matches the JAX driver's convention)
+        "iterations": niter,
         "gap": float(s @ z),
         "pcost": float(0.5 * x @ (P @ x) + c @ x),
         "pres": float(

@@ -134,7 +134,7 @@ def test_verbose_log(capsys):
                        verbose=True)
     out = capsys.readouterr().out
     assert "gap=" in out and "pcost=" in out
-    assert len(res["log"]) == res["iterations"]
+    assert len(res["log"]) == res["iterations"] + 1
 
 
 # ------------------------- benchmark model families ------------------------
