@@ -1,0 +1,93 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.md): batched SOCP solves/sec at 1e-8 duality gap on the
+robust-least-squares family (config 3), on whatever accelerator is attached
+(real TPU under the driver; CPU otherwise).  `vs_baseline` is the ratio to
+the single-core NumPy oracle (the in-environment stand-in for single-core
+Socp.jl — the reference publishes no numbers; see BASELINE.md).
+
+Extra diagnostics (KKT factorize+solve ms, per-iteration time, statuses)
+go to stderr; stdout carries exactly one JSON line.
+
+Usage: python bench.py [--batch B] [--n N] [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller problem for smoke runs")
+    ap.add_argument("--dtype", default="float64",
+                    help="carry dtype (float64 reaches 1e-8)")
+    ap.add_argument("--factor-dtype", default=None,
+                    help="factorization dtype override (e.g. float32)")
+    args = ap.parse_args()
+    if args.quick:
+        args.batch, args.n = 32, 24
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import socp_tpu
+    from socp_tpu import SolverConfig
+    from socp_tpu.models.robust_ls import robust_ls, robust_ls_batch
+    from socp_tpu.utils import oracle
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | batch={args.batch} n={args.n}")
+
+    cfg = SolverConfig(factor_dtype=args.factor_dtype)
+    c, G, h, dims = robust_ls_batch(0, batch=args.batch, n=args.n)
+
+    t0 = time.time()
+    out = socp_tpu.solve_batch_raw(c, G, h, dims, config=cfg,
+                                   dtype=np.dtype(args.dtype))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = socp_tpu.solve_batch_raw(c, G, h, dims, config=cfg,
+                                   dtype=np.dtype(args.dtype))
+    dt = time.time() - t0
+    status, iters, stats = out[4], out[5], out[6]
+    ok = int((status == 0).sum())
+    max_gap = float(stats[:, 2].max())
+    solves_per_s = args.batch / dt
+    iters_per_s = float(iters.sum()) / dt
+    kkt_ms = dt / float(iters.max()) * 1e3  # per lockstep iteration (2 factors+6 solves worth)
+    log(f"steady run: {dt:.2f}s -> {solves_per_s:.1f} solves/s, "
+        f"{iters_per_s:.0f} instance-iters/s | optimal {ok}/{args.batch} "
+        f"| max gap {max_gap:.2e} | lockstep iter {kkt_ms:.1f} ms")
+
+    # single-core NumPy oracle baseline (stand-in for single-core Socp.jl)
+    times = []
+    for i in range(3):
+        prob, _ = robust_ls(i, n=args.n)
+        t0 = time.time()
+        r = oracle.solve(prob.c, prob.G, prob.h, prob.dims)
+        times.append(time.time() - t0)
+    base = 1.0 / float(np.median(times))
+    log(f"oracle baseline: {base:.2f} solves/s (median of 3)")
+
+    print(json.dumps({
+        "metric": "batched_robust_ls_solves_per_sec_at_1e-8_gap",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,7 @@ def solve(
         relgap=float(stats[3]),
         pres=float(stats[4]),
         dres=float(stats[5]),
+        inaccurate=bool(stats[6] > 0.5),
     )
 
 
@@ -109,6 +110,7 @@ def solve_batch(
             relgap=float(stats[i, 3]),
             pres=float(stats[i, 4]),
             dres=float(stats[i, 5]),
+            inaccurate=bool(stats[i, 6] > 0.5),
         )
         for i in range(B)
     ]

@@ -24,6 +24,16 @@ class SolverConfig:
     abstol: float = 1e-8
     reltol: float = 1e-8
     feastol: float = 1e-8
+    # Relaxed acceptance thresholds (ECOS-style "optimal, inaccurate"): when
+    # the solver stalls at its numerically achievable floor (bad KKT
+    # direction / max-iter), the BEST iterate seen is restored and accepted
+    # as optimal if it meets these.
+    abstol_inacc: float = 5e-5
+    reltol_inacc: float = 5e-5
+    feastol_inacc: float = 1e-4
+    # A combined Newton direction whose (post-refinement) relative KKT
+    # residual exceeds this is unusable: stop instead of stepping.
+    solve_quality_tol: float = 0.25
     step_frac: float = 0.99
     # Static regularization added to the *equilibrated* (unit-diagonal)
     # condensed-system diagonals — i.e. relative to each row's own scale.
@@ -42,6 +52,12 @@ class SolverConfig:
     refine_steps: int = 1
     # Compute residuals/refinement in f64 even when iterates are f32.
     refine_in_f64: bool = False
+    # Factorization dtype ("float32" or None = carry dtype).  The
+    # dsgesv-style mixed-precision scheme: iterates and refinement residuals
+    # stay f64 while the O(n^3)/O(mn^2) factor pipeline runs on the f32 MXU
+    # (~100x faster than emulated f64 on TPU); iterative refinement against
+    # the f64 3x3 system restores 1e-8-grade directions (SURVEY.md 7.3.1).
+    factor_dtype: str | None = None
     kkt: KKTStrategy = KKTStrategy.DENSE
     # SOC bucket granularity: block dims are padded up to a multiple of this
     # (and to >= 2) so heterogeneous cones batch into dense bucket arrays.

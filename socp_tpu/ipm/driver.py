@@ -6,8 +6,13 @@ Call-stack mirror of the oracle (SURVEY.md section 3.1), TPU-first:
   * the loop carry is a pytree `IPMState`; updates are masked by a `done`
     flag so the identical code runs single-instance and under `vmap`
     (lockstep batching with per-instance convergence, SURVEY.md 2.3 DP row);
-  * termination / infeasibility certificates / NaN guards fold into a
-    single status-select per iteration.
+  * termination / infeasibility certificates / NaN guards / direction-
+    quality stall fold into a single status-select per iteration;
+  * the best-merit iterate is tracked in the carry and restored on any
+    non-optimal exit; if it meets the relaxed (inaccurate) tolerances the
+    solve is accepted as optimal — ECOS-style stall handling, essential for
+    the f32-factor mixed-precision mode whose achievable floor can sit just
+    above the strict tolerances.
 """
 
 from __future__ import annotations
@@ -31,9 +36,15 @@ class IPMState(NamedTuple):
     y: jax.Array
     s: jax.Array
     z: jax.Array
-    k: jax.Array        # completed body executions (= factorizations)
-    status: jax.Array   # Status int code; RUNNING while iterating
-    done: jax.Array     # bool
+    k: jax.Array          # completed body executions (= factorizations)
+    status: jax.Array     # Status int code; RUNNING while iterating
+    done: jax.Array       # bool
+    # best-merit iterate seen so far (restored on non-optimal exit)
+    best_merit: jax.Array
+    bx: jax.Array
+    by: jax.Array
+    bs: jax.Array
+    bz_: jax.Array
 
 
 def _norm(v):
@@ -54,7 +65,8 @@ def solve_core(
 ):
     """Solve one (padded) SOCP.  All args device arrays; layout/cfg static.
 
-    Returns (x, y, s, z, status, iterations, stats_vector).
+    Returns (x, y, s, z, status, iterations, stats_vector) with stats =
+    [pcost, dcost, gap, relgap, pres, dres, inaccurate_flag].
     """
     dtype = c.dtype
     n = c.shape[0]
@@ -86,37 +98,8 @@ def solve_core(
         rz = G @ x + s - h
         return rx, ry, rz
 
-    # ---- initialization: W = I least-squares KKT solves + interior shift
-    sc0 = cops.identity_scaling(layout, dtype)
-    kkt0 = dense.factor(layout, sc0, Paug, A, G, cfg.delta_reg)
-    x0, _, z0 = dense.solve(layout, kkt0, A, jnp.zeros((n,), dtype), b, h,
-                            aug_rho=aug_rho)
-    shat = -z0
-    ap = -cops.lambda_min(layout, shat)
-    s0 = jnp.where(ap < 0, shat, shat + (1.0 + ap) * e)
-    _, y0, zhat = dense.solve(
-        layout, kkt0, A, -c, jnp.zeros((p,), dtype), jnp.zeros((m,), dtype),
-        aug_rho=aug_rho,
-    )
-    ad = -cops.lambda_min(layout, zhat)
-    z0 = jnp.where(ad < 0, zhat, zhat + (1.0 + ad) * e)
-
-    st0 = IPMState(
-        x=x0,
-        y=y0,
-        s=s0,
-        z=z0,
-        k=jnp.zeros((), jnp.int32),
-        status=jnp.full((), Status.RUNNING, jnp.int32),
-        done=jnp.zeros((), bool),
-    )
-
-    def body(st: IPMState) -> IPMState:
-        x, y, s, z = st.x, st.y, st.s, st.z
-        rx, ry, rz = residuals(x, y, s, z)
+    def metrics(x, y, s, z, rx, ry, rz):
         gap = s @ z
-        mu = gap / nu
-
         pcost = c @ x + (0.5 * x @ (P @ x) if has_P else 0.0)
         dcost = pcost + y @ ry + z @ rz - gap
         relgap = jnp.where(
@@ -126,11 +109,61 @@ def solve_core(
         )
         pres = jnp.maximum(_norm(ry) / norm_b, _norm(rz) / norm_h)
         dres = _norm(rx) / norm_c
+        return gap, pcost, dcost, relgap, pres, dres
+
+    def refined(kkt, bx, by, bz):
+        return dense.solve_refined(
+            layout, kkt, Pmat, A, G, bx, by, bz,
+            refine_steps=cfg.refine_steps,
+            refine_in_f64=cfg.refine_in_f64,
+            aug_rho=aug_rho,
+        )
+
+    # ---- initialization: W = I least-squares KKT solves + interior shift
+    sc0 = cops.identity_scaling(layout, dtype)
+    kkt0 = dense.factor(layout, sc0, Paug, A, G, cfg.delta_reg,
+                        factor_dtype=cfg.factor_dtype)
+    x0, _, z0, _ = refined(kkt0, jnp.zeros((n,), dtype), b, h)
+    shat = -z0
+    ap = -cops.lambda_min(layout, shat)
+    s0 = jnp.where(ap < 0, shat, shat + (1.0 + ap) * e)
+    _, y0, zhat, _ = refined(
+        kkt0, -c, jnp.zeros((p,), dtype), jnp.zeros((m,), dtype)
+    )
+    ad = -cops.lambda_min(layout, zhat)
+    z0 = jnp.where(ad < 0, zhat, zhat + (1.0 + ad) * e)
+
+    st0 = IPMState(
+        x=x0, y=y0, s=s0, z=z0,
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full((), Status.RUNNING, jnp.int32),
+        done=jnp.zeros((), bool),
+        best_merit=jnp.asarray(jnp.inf, dtype),
+        bx=x0, by=y0, bs=s0, bz_=z0,
+    )
+
+    def body(st: IPMState) -> IPMState:
+        x, y, s, z = st.x, st.y, st.s, st.z
+        rx, ry, rz = residuals(x, y, s, z)
+        gap, pcost, dcost, relgap, pres, dres = metrics(
+            x, y, s, z, rx, ry, rz
+        )
+        mu = gap / nu
         converged = (
             (pres <= cfg.feastol)
             & (dres <= cfg.feastol)
             & ((gap <= cfg.abstol) | (relgap <= cfg.reltol))
         )
+
+        # best-iterate tracking (merit: worst normalized optimality measure)
+        merit = jnp.maximum(jnp.maximum(pres, dres),
+                            jnp.minimum(relgap, gap))
+        better = (merit < st.best_merit) & ~st.done
+        best_merit = jnp.where(better, merit, st.best_merit)
+        bx = jnp.where(better, x, st.bx)
+        by = jnp.where(better, y, st.by)
+        bs = jnp.where(better, s, st.bs)
+        bz_ = jnp.where(better, z, st.bz_)
 
         # Farkas-style infeasibility certificates (oracle-identical).
         hz_by = h @ z + (y @ b if p else 0.0)
@@ -144,27 +177,24 @@ def solve_core(
 
         # ---- NT scaling + KKT factor (the hot block)
         scaling = cops.nt_scale(layout, s, z)
-        kkt = dense.factor(layout, scaling, Paug, A, G, cfg.delta_reg)
+        kkt = dense.factor(layout, scaling, Paug, A, G, cfg.delta_reg,
+                           factor_dtype=cfg.factor_dtype)
         lam = scaling.lam
 
         def newton(d_s):
             """Direction for complementarity target d_s; returns scaled
             ds/dz too (dz_sc = W dz, ds = W ds_sc)."""
             dtil = cops.jdiv(layout, lam, d_s)
-            dx, dy, dz = dense.solve_refined(
-                layout, kkt, Pmat, A, G,
-                -rx, -ry, -rz + cops.apply_W(layout, scaling, dtil),
-                refine_steps=cfg.refine_steps,
-                refine_in_f64=cfg.refine_in_f64,
-                aug_rho=aug_rho,
+            dx, dy, dz, quality = refined(
+                kkt, -rx, -ry, -rz + cops.apply_W(layout, scaling, dtil)
             )
             dz_sc = cops.apply_W(layout, scaling, dz)
             ds_sc = -(dtil + dz_sc)
-            return dx, dy, dz, ds_sc, dz_sc
+            return dx, dy, dz, ds_sc, dz_sc, quality
 
         # affine (predictor)
         lam2 = cops.jprod(layout, lam, lam)
-        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a = newton(lam2)
+        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(lam2)
         alpha_a = jnp.minimum(
             cops.max_step(layout, lam, ds_sc_a),
             cops.max_step(layout, lam, dz_sc_a),
@@ -175,7 +205,7 @@ def solve_core(
 
         # combined (corrector) with second-order term
         d_s = lam2 + cops.jprod(layout, ds_sc_a, dz_sc_a) - sigma * mu * e
-        dx, dy, dz, ds_sc, dz_sc = newton(d_s)
+        dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
         ds = cops.apply_W(layout, scaling, ds_sc)
 
         alpha = jnp.minimum(
@@ -191,7 +221,10 @@ def solve_core(
             & jnp.isfinite(ds @ ds)
             & jnp.isfinite(dz @ dz)
         )
-        numerr = ~step_finite | ~jnp.isfinite(gap)
+        # direction-quality stall: the factorization can no longer produce
+        # usable Newton directions (f32 floor / extreme conditioning)
+        stalled = quality > cfg.solve_quality_tol
+        numerr = ~step_finite | ~jnp.isfinite(gap) | stalled
 
         new_status = jnp.where(
             converged,
@@ -212,8 +245,9 @@ def solve_core(
         if cfg.verbose:
             jax.debug.print(
                 "{k:3d} pcost={pc:+.6e} dcost={dc:+.6e} gap={g:.3e} "
-                "pres={pr:.3e} dres={dr:.3e} step={a:.3f}",
-                k=st.k, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres, a=alpha,
+                "pres={pr:.3e} dres={dr:.3e} step={a:.3f} kktres={q:.1e}",
+                k=st.k, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres,
+                a=alpha, q=quality,
             )
 
         def upd(old, delta):
@@ -227,23 +261,44 @@ def solve_core(
             k=jnp.where(freeze, st.k, st.k + 1),
             status=jnp.where(st.done, st.status, new_status),
             done=freeze,
+            best_merit=best_merit,
+            bx=bx, by=by, bs=bs, bz_=bz_,
         )
 
     def cond(st: IPMState):
         return (~st.done) & (st.k < cfg.max_iter)
 
     st = lax.while_loop(cond, body, st0)
-    status = jnp.where(st.done, st.status, Status.MAX_ITERATIONS).astype(jnp.int32)
-
-    # final stats (recomputed once at exit)
-    rx, ry, rz = residuals(st.x, st.y, st.s, st.z)
-    gap = st.s @ st.z
-    pcost = c @ st.x + (0.5 * st.x @ (P @ st.x) if has_P else 0.0)
-    dcost = pcost + st.y @ ry + st.z @ rz - gap
-    relgap = jnp.where(
-        pcost < 0, gap / -pcost, jnp.where(dcost > 0, gap / dcost, jnp.inf)
+    status = jnp.where(st.done, st.status, Status.MAX_ITERATIONS).astype(
+        jnp.int32
     )
-    pres = jnp.maximum(_norm(ry) / norm_b, _norm(rz) / norm_h)
-    dres = _norm(rx) / norm_c
-    stats = jnp.stack([pcost, dcost, gap, relgap, pres, dres])
-    return st.x, st.y, st.s, st.z, status, st.k, stats
+
+    # ---- best-iterate restoration + inaccurate acceptance
+    # On a non-optimal, non-certificate exit, return the best iterate seen;
+    # accept as optimal (flagged inaccurate) if it meets the relaxed
+    # tolerances.
+    restore = (status == Status.NUMERICAL_ERROR) | (
+        status == Status.MAX_ITERATIONS
+    )
+    x = jnp.where(restore, st.bx, st.x)
+    y = jnp.where(restore, st.by, st.y)
+    s = jnp.where(restore, st.bs, st.s)
+    z = jnp.where(restore, st.bz_, st.z)
+
+    rx, ry, rz = residuals(x, y, s, z)
+    gap, pcost, dcost, relgap, pres, dres = metrics(x, y, s, z, rx, ry, rz)
+    inacc_ok = (
+        (pres <= cfg.feastol_inacc)
+        & (dres <= cfg.feastol_inacc)
+        & ((gap <= cfg.abstol_inacc) | (relgap <= cfg.reltol_inacc))
+    )
+    status = jnp.where(restore & inacc_ok, Status.OPTIMAL, status).astype(
+        jnp.int32
+    )
+    inaccurate = restore & inacc_ok
+
+    stats = jnp.stack(
+        [pcost, dcost, gap, relgap, pres, dres,
+         inaccurate.astype(pcost.dtype)]
+    )
+    return x, y, s, z, status, st.k, stats

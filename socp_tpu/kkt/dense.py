@@ -72,8 +72,10 @@ def _eq_chol(M: jax.Array, delta: float) -> EqChol:
     tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
     d = 1.0 / jnp.sqrt(jnp.maximum(diag, tiny))
     Mn = d[:, None] * M * d[None, :]
-    if delta:
-        Mn = Mn + delta * jnp.eye(M.shape[0], dtype=dtype)
+    # floor the regularization at a multiple of the factor dtype's epsilon:
+    # the unit-diagonal system's roundoff scale (matters for f32 factors)
+    delta_eff = max(delta, 32.0 * float(jnp.finfo(dtype).eps))
+    Mn = Mn + delta_eff * jnp.eye(M.shape[0], dtype=dtype)
     return EqChol(L=jnp.linalg.cholesky(Mn), d=d)
 
 
@@ -82,12 +84,19 @@ def _chol_solve(f: EqChol, rhs: jax.Array) -> jax.Array:
 
 
 class DenseKKT(NamedTuple):
-    """Factored condensed system (pytree of arrays)."""
+    """Factored condensed system (pytree of arrays).
+
+    When `factor_dtype` is lower than the carry dtype (the dsgesv-style
+    mixed-precision mode), L_H/L_S/Ghat/scaling_lo live in the factor dtype
+    — the whole back-solve runs on the fast MXU path — while `scaling`
+    keeps the carry dtype for the refinement residual's W'W products.
+    """
 
     L_H: EqChol           # equilibrated Cholesky of H (n x n)
     L_S: EqChol           # equilibrated Cholesky of the Schur complement
-    Ghat: jax.Array       # (m_pad, n) = W^-1 G
-    scaling: cops.Scaling
+    Ghat: jax.Array       # (m_pad, n) = W^-1 G, factor dtype
+    scaling: cops.Scaling      # carry dtype (refinement)
+    scaling_lo: cops.Scaling   # factor dtype (back-solves)
 
 
 def factor(
@@ -97,26 +106,32 @@ def factor(
     A: jax.Array,
     G: jax.Array,
     delta: float = 0.0,
+    factor_dtype=None,
 ) -> DenseKKT:
     """Assemble + factor; the per-iteration hot path (north-star metric).
 
     `Paug` must already include the rho*A'A augmentation (see module doc).
     """
     p = A.shape[0]
-    Ghat = cops.scale_rows_Winv(layout, scaling, G)
+    fdt = jnp.dtype(factor_dtype) if factor_dtype else G.dtype
+    Ghat = cops.scale_rows_Winv(layout, scaling, G).astype(fdt)
     H = Ghat.T @ Ghat
     if Paug is not None:
-        H = H + Paug
+        H = H + Paug.astype(fdt)
     L_H = _eq_chol(H, delta)
     if p:
-        HinvAT = L_H.solve(A.T)
-        S = A @ HinvAT
+        HinvAT = L_H.solve(A.astype(fdt).T)
+        S = A.astype(fdt) @ HinvAT
         L_S = _eq_chol(S, delta)
     else:
-        L_S = EqChol(
-            L=jnp.zeros((0, 0), dtype=G.dtype), d=jnp.zeros((0,), G.dtype)
-        )
-    return DenseKKT(L_H=L_H, L_S=L_S, Ghat=Ghat, scaling=scaling)
+        L_S = EqChol(L=jnp.zeros((0, 0), dtype=fdt), d=jnp.zeros((0,), fdt))
+    scaling_lo = (
+        jax.tree_util.tree_map(lambda a: a.astype(fdt), scaling)
+        if fdt != G.dtype
+        else scaling
+    )
+    return DenseKKT(L_H=L_H, L_S=L_S, Ghat=Ghat, scaling=scaling,
+                    scaling_lo=scaling_lo)
 
 
 def solve(
@@ -134,7 +149,10 @@ def solve(
     dy = y_hat + rho*by (exact; see module doc), applied here.
     """
     p = A.shape[0]
-    bhz = cops.apply_Winv(layout, kkt.scaling, bz)
+    fdt = kkt.Ghat.dtype
+    bx, by, bz = bx.astype(fdt), by.astype(fdt), bz.astype(fdt)
+    A = A.astype(fdt)
+    bhz = cops.apply_Winv(layout, kkt.scaling_lo, bz)
     btx = bx + kkt.Ghat.T @ bhz
     if p:
         t1 = _chol_solve(kkt.L_H, btx)
@@ -144,7 +162,7 @@ def solve(
     else:
         dy = by  # empty
         dx = _chol_solve(kkt.L_H, btx)
-    dz = cops.apply_Winv(layout, kkt.scaling, kkt.Ghat @ dx - bhz)
+    dz = cops.apply_Winv(layout, kkt.scaling_lo, kkt.Ghat @ dx - bhz)
     return dx, dy, dz
 
 
@@ -171,11 +189,14 @@ def solve_refined(
     so they can run in f64 (software-emulated on TPU) while the Cholesky
     stays f32 — the precision strategy from SURVEY.md 7.1/7.3.1.
     """
+    carry = bx.dtype
     dx, dy, dz = solve(layout, kkt, A, bx, by, bz, aug_rho=aug_rho)
+    dx, dy, dz = dx.astype(carry), dy.astype(carry), dz.astype(carry)
+    quality = jnp.zeros((), carry)
     if refine_steps <= 0:
-        return dx, dy, dz
+        return dx, dy, dz, quality
 
-    hi = jnp.float64 if refine_in_f64 else bx.dtype
+    hi = jnp.float64 if refine_in_f64 else carry
     sc = kkt.scaling
 
     def residual(dx, dy, dz):
@@ -192,12 +213,17 @@ def solve_refined(
         rz = bz.astype(hi) - (Gh @ dxh - WWdz)
         return rx, ry, rz
 
+    rhs_norm = jnp.sqrt(bx @ bx + by @ by + bz @ bz).astype(carry) + 1.0
     for _ in range(refine_steps):
         rx, ry, rz = residual(dx, dy, dz)
-        lo = bx.dtype
-        ex, ey, ez = solve(
-            layout, kkt, A, rx.astype(lo), ry.astype(lo), rz.astype(lo),
-            aug_rho=aug_rho,
+        # relative residual BEFORE the last correction: a conservative,
+        # zero-extra-cost estimate of how well the factorization solves the
+        # true system (drives the driver's direction-quality stall guard)
+        quality = (
+            jnp.sqrt(rx @ rx + ry @ ry + rz @ rz).astype(carry) / rhs_norm
         )
-        dx, dy, dz = dx + ex, dy + ey, dz + ez
-    return dx, dy, dz
+        ex, ey, ez = solve(layout, kkt, A, rx, ry, rz, aug_rho=aug_rho)
+        dx = dx + ex.astype(carry)
+        dy = dy + ey.astype(carry)
+        dz = dz + ez.astype(carry)
+    return dx, dy, dz, quality

@@ -35,6 +35,9 @@ class Solution:
     relgap: float
     pres: float
     dres: float
+    # True when the strict tolerances were NOT met but the restored best
+    # iterate satisfies the relaxed (inaccurate) tolerances (ECOS-style).
+    inaccurate: bool = False
 
     @property
     def optimal(self) -> bool:
