@@ -112,6 +112,10 @@ def factor(
 
     `Paug` must already include the rho*A'A augmentation (see module doc).
     """
+    if factor_dtype == "dd32":
+        from socp_tpu.kkt import dd_dense
+
+        return dd_dense.factor(layout, scaling, Paug, A, G, delta)
     p = A.shape[0]
     fdt = jnp.dtype(factor_dtype) if factor_dtype else G.dtype
     Ghat = cops.scale_rows_Winv(layout, scaling, G).astype(fdt)
@@ -148,6 +152,10 @@ def solve(
     The augmented 2x2 system's multiplier y_hat relates to the true dy by
     dy = y_hat + rho*by (exact; see module doc), applied here.
     """
+    if getattr(kkt, "is_dd", False):
+        from socp_tpu.kkt import dd_dense
+
+        return dd_dense.solve(layout, kkt, A, bx, by, bz, aug_rho=aug_rho)
     p = A.shape[0]
     fdt = kkt.Ghat.dtype
     bx, by, bz = bx.astype(fdt), by.astype(fdt), bz.astype(fdt)

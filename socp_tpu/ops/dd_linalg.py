@@ -1,0 +1,110 @@
+"""dd32 dense linear algebra: Cholesky + triangular solves.
+
+Right-looking, mask-based formulations: each of the n steps applies a
+rank-1 dd update to the full trailing matrix under an (i > j, k > j) mask —
+3x the flops of a shrinking-window Cholesky but fully vectorized over any
+leading batch dims and TPU-friendly (no ragged shapes, no gathers).  All
+O(n^3) work is elementwise dd32 on the VPU; for n ~ 100-500 this is cheap
+next to the Ozaki GEMMs that build H.
+
+The expensive O(m n^2) Gram products use ops/ozaki.py on the MXU; this
+module only covers the O(n^3)/O(n^2 q) tail.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from socp_tpu.ops import dd as ddm
+from socp_tpu.ops.dd import DD
+
+
+def _take_col(M: DD, j) -> DD:
+    """Column j of (n, n) dd as (n, 1)."""
+    return DD(
+        lax.dynamic_slice_in_dim(M.hi, j, 1, axis=1),
+        lax.dynamic_slice_in_dim(M.lo, j, 1, axis=1),
+    )
+
+
+def _take_row(M: DD, j) -> DD:
+    return DD(
+        lax.dynamic_slice_in_dim(M.hi, j, 1, axis=0),
+        lax.dynamic_slice_in_dim(M.lo, j, 1, axis=0),
+    )
+
+
+def dd_cholesky(H: DD) -> DD:
+    """Lower Cholesky factor of a symmetric PD dd (n, n) matrix.
+
+    Masked right-looking algorithm; batch via vmap.
+    """
+    n = H.hi.shape[-1]
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    def body(j, M: DD) -> DD:
+        col = _take_col(M, j)                         # (n, 1)
+        djj = _take_row(col, j)                       # (1, 1)
+        d = ddm.sqrt(djj)
+        c = ddm.div(col, d)                           # L[:, j] candidates
+        # zero above the diagonal of this column
+        rmask = (rows[:, :1] >= j)
+        c = DD(jnp.where(rmask, c.hi, 0.0), jnp.where(rmask, c.lo, 0.0))
+        # trailing update M[i>j, k>j] -= c_i * c_k
+        outer = ddm.mul(c, c.T)                       # (n, n) via broadcast
+        upd = ddm.sub(M, outer)
+        trail = (rows > j) & (cols > j)
+        M = ddm.where(trail, upd, M)
+        # write column j
+        is_col = cols == j
+        M = ddm.where(is_col, DD(c.hi + jnp.zeros_like(M.hi),
+                                 c.lo + jnp.zeros_like(M.lo)), M)
+        return M
+
+    M = lax.fori_loop(0, n, body, H)
+    lower = rows >= cols
+    return DD(jnp.where(lower, M.hi, 0.0), jnp.where(lower, M.lo, 0.0))
+
+
+def dd_solve_triangular(L: DD, B: DD, lower: bool = True) -> DD:
+    """Solve L X = B (lower) or L' X = B (upper, using the same stored L).
+
+    L: (n, n) dd lower-triangular; B: (n, q) dd.  Column-oriented
+    substitution: n steps of masked rank-1 axpy, vectorized over q (and any
+    vmap batch).
+    """
+    n, q = B.hi.shape
+    rows_b = lax.broadcasted_iota(jnp.int32, (n, q), 0)
+    rows_m = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(t, B: DD) -> DD:
+        j = t if lower else n - 1 - t
+        piv = _take_row(_take_col(L, j), j)           # L[j, j] (1,1)
+        bj = _take_row(B, j)                          # (1, q)
+        xj = ddm.div(bj, piv)
+        # write solved row j
+        is_row = rows_b == j
+        B = ddm.where(is_row, DD(xj.hi + jnp.zeros_like(B.hi),
+                                 xj.lo + jnp.zeros_like(B.lo)), B)
+        # eliminate from the remaining rows
+        if lower:
+            coef = _take_col(L, j)                    # column j: L[i, j]
+            mask = rows_m > j
+        else:
+            coef = _take_row(L, j).T                  # row j: L[j, i] = L'[i, j]
+            mask = rows_m < j
+        coef = DD(jnp.where(mask, coef.hi, 0.0), jnp.where(mask, coef.lo, 0.0))
+        B = ddm.sub(B, ddm.mul(coef, xj))             # (n,1)*(1,q) broadcast
+        return B
+
+    body_l = lambda t, B: body(t, B)
+    return lax.fori_loop(0, n, body_l, B)
+
+
+def dd_chol_solve(L: DD, B: DD) -> DD:
+    """(L L')^-1 B via forward + backward substitution."""
+    y = dd_solve_triangular(L, B, lower=True)
+    return dd_solve_triangular(L, y, lower=False)

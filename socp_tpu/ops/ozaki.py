@@ -1,0 +1,131 @@
+"""Ozaki-scheme matrix multiply: f64-grade GEMM on the bf16 MXU.
+
+The TPU has no fast f64 matmul, but dd32 (double-word f32) GEMMs cannot be
+built from plain f32 matmuls either — the MXU rounds every accumulation
+step, so the error-free transformations that work elementwise do not apply
+inside a dot product.  The Ozaki splitting sidesteps this with EXACT
+integer-like arithmetic on the fast matrix unit:
+
+  1. scale each column of A (row of B) by a power of two so |a| <= 1;
+  2. peel T=7 slices of 7 mantissa bits each: a = sum_t S_t 2^(-6-7t),
+     with S_t integer-valued in [-65, 65];
+  3. slice products are EXACT in bf16 (|S_t. S_u| <= 2^13 < 2^8 mantissa...
+     each product is an integer < 2^13, exactly representable), and the MXU
+     accumulates them in f32, exactly while partial sums stay < 2^24 —
+     guaranteed for contraction lengths m <= 2^24 / 2^13 / slack; we require
+     m <= 2048 per call and chunk above;
+  4. per-diagonal (t+u = k) sums combine exactly in f32; the 7 diagonal
+     results merge into a dd32 value with the power-of-two scales restored
+     (exact scaling).
+
+Pairs with t+u >= 7 are dropped: their magnitude is < 2^-49 relative to the
+column scales, matching dd32's own precision.  28 bf16 MXU passes total —
+measured orders of magnitude faster than XLA's emulated f64 GEMM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from socp_tpu.ops import dd as ddm
+from socp_tpu.ops.dd import DD
+
+N_SLICES = 7
+_W = 7                      # bits per slice
+MAX_CONTRACT = 2048         # per-chunk exact-accumulation bound
+
+
+@functools.cache
+def _slice_dtype():
+    """bf16 slices ride the fastest MXU path on TPU; the XLA CPU backend has
+    no bf16 dot, so use f32 there (equally exact: slice products are small
+    integers)."""
+    import jax as _jax
+
+    return jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
+
+
+def _pow2_colscale(x: DD, axis: int) -> jax.Array:
+    """Power-of-two scale s with |x|/s <= 1 along `axis` (f32, exact).
+
+    NB: jnp.exp2 lowers to libm exp on some backends and is NOT exact at
+    integer arguments (observed: exp2(15) = 32767.984 on XLA CPU), which
+    silently breaks the exact-scaling premise — use ldexp instead.
+    """
+    mag = jnp.max(jnp.abs(x.hi), axis=axis, keepdims=True)
+    mag = jnp.maximum(mag, jnp.float32(2.0 ** -100))
+    e = jnp.ceil(jnp.log2(mag)).astype(jnp.int32)
+    return jnp.ldexp(jnp.ones_like(mag, jnp.float32), e)
+
+
+def _slices(x: DD, scale: jax.Array) -> jax.Array:
+    """Peel N_SLICES 7-bit slices from x/scale.  Returns bf16 (T, *x.shape);
+    slice t carries the value S_t * 2^(-6-7t) * scale."""
+    inv = 1.0 / scale                      # power of two: exact
+    r = DD(x.hi * inv, x.lo * inv)        # exact scaling
+    out = []
+    for t in range(N_SLICES):
+        sc = jnp.float32(2.0 ** (6 + _W * t))
+        q = jnp.round(r.hi * sc) / sc      # integer/2^(6+7t): exact in f32
+        out.append((q * sc).astype(_slice_dtype()))  # integer <= ~65: exact
+        r = ddm.sub(r, DD(q, jnp.zeros_like(q)))
+    return jnp.stack(out)
+
+
+def dd_matmul(a: DD, b: DD) -> DD:
+    """C = a @ b for dd32 matrices a (p, m), b (m, q) -> dd32 (p, q).
+
+    Contraction length m must be <= MAX_CONTRACT (chunked internally
+    otherwise).  Accuracy ~2^-48 relative to the row/column scales.
+    """
+    p, m = a.hi.shape
+    m2, q = b.hi.shape
+    assert m == m2
+    if m > MAX_CONTRACT:
+        # exact-accumulation bound: chunk the contraction and dd-sum
+        out = None
+        for s in range(0, m, MAX_CONTRACT):
+            piece = dd_matmul(a[:, s : s + MAX_CONTRACT],
+                              b[s : s + MAX_CONTRACT, :])
+            out = piece if out is None else ddm.add(out, piece)
+        return out
+
+    sa = _pow2_colscale(a, axis=1)         # (p, 1) row scales of a
+    sb = _pow2_colscale(b, axis=0)         # (1, q) col scales of b
+    A = _slices(a, sa)                     # (T, p, m) bf16
+    B = _slices(b, sb)                     # (T, m, q) bf16
+
+    # Each single GEMM is exact (integer partial sums < 2^24 for
+    # m <= MAX_CONTRACT).  Summing the k+1 GEMMs of one diagonal in plain
+    # f32 could exceed 2^24 and round, so accumulate with two_sum
+    # compensation (exact).  Then dd-combine diagonals with exact 2^-7k
+    # scaling.
+    acc = None
+    for k in range(N_SLICES):
+        dk_hi = dk_lo = None
+        for t in range(k + 1):
+            prod = jax.lax.dot_general(
+                A[t], B[k - t],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dk_hi is None:
+                dk_hi, dk_lo = prod, jnp.zeros_like(prod)
+            else:
+                dk_hi, e = ddm.two_sum(dk_hi, prod)
+                dk_lo = dk_lo + e
+        dk = DD(*ddm.quick_two_sum(dk_hi, dk_lo))
+        term = ddm.mul_f32(dk, jnp.float32(2.0 ** (-12 - _W * k)))
+        acc = term if acc is None else ddm.add(acc, term)
+    # restore scales (powers of two: exact on both words)
+    s = sa * sb                             # (p, q) via broadcasting
+    return DD(acc.hi * s, acc.lo * s)
+
+
+def dd_matvec(a: DD, x: DD) -> DD:
+    """y = a @ x for a (p, m) dd, x (m,) dd."""
+    y = dd_matmul(a, DD(x.hi[:, None], x.lo[:, None]))
+    return DD(y.hi[:, 0], y.lo[:, 0])
