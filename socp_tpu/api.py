@@ -31,7 +31,14 @@ def default_dtype():
 @functools.lru_cache(maxsize=256)
 def _compiled(layout: ConeLayout, cfg: SolverConfig, has_P: bool, batched: bool,
               batch_A: bool, batch_P: bool):
-    core = functools.partial(driver.solve_core, layout, cfg, has_P=has_P)
+    if cfg.native_dd:
+        from socp_tpu.ipm import dd_driver
+
+        core = functools.partial(
+            dd_driver.solve_core_dd, layout, cfg, has_P=has_P
+        )
+    else:
+        core = functools.partial(driver.solve_core, layout, cfg, has_P=has_P)
     if batched:
         in_axes = (0, 0, 0, 0 if batch_A else None, 0 if batch_A else None,
                    0 if batch_P else None)

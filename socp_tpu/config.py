@@ -58,6 +58,11 @@ class SolverConfig:
     # (~100x faster than emulated f64 on TPU); iterative refinement against
     # the f64 3x3 system restores 1e-8-grade directions (SURVEY.md 7.3.1).
     factor_dtype: str | None = None
+    # Run the ENTIRE IPM in dd32 (double-word f32): dd carries, dd cone
+    # kernels, Ozaki MXU matvecs — zero f64 in the hot loop.  The fast path
+    # on TPU (f64 emulation there is ~50-100x slower than f32); reaches the
+    # same 1e-8 tolerances.  factor_dtype is ignored when set.
+    native_dd: bool = False
     kkt: KKTStrategy = KKTStrategy.DENSE
     # SOC bucket granularity: block dims are padded up to a multiple of this
     # (and to >= 2) so heterogeneous cones batch into dense bucket arrays.

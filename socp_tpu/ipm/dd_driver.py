@@ -1,0 +1,347 @@
+"""dd32-native IPM driver: zero f64 anywhere in the hot loop.
+
+Mirrors ipm/driver.py step-for-step (same algorithm, same status logic,
+same best-iterate/stall handling) with the carries, cone kernels, and KKT
+pipeline all in double-word f32:
+
+  * constant problem data (G, A, P and their transposes) is Ozaki-sliced
+    ONCE outside the while_loop; every residual/refinement matvec is a
+    handful of bf16 MXU passes;
+  * per-iteration: dd NT scaling -> Ozaki Gram -> dd Cholesky -> dd
+    substitutions -> dd refinement;
+  * scalar control flow (step lengths, tolerances, status) reads hi words
+    (f32) — cancellation-sensitive *vectors* are dd, scalars derived from
+    them don't need more than f32.
+
+Measured motivation: XLA-emulated f64 on TPU costs ~50-100x f32 even for
+elementwise ops; the f64-carry driver spends >95% of its iteration time on
+emulation (see kkt/dd_dense.py header).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from socp_tpu.cones import dd_ops
+from socp_tpu.cones.layout import ConeLayout
+from socp_tpu.config import SolverConfig
+from socp_tpu.kkt import dd_dense
+from socp_tpu.ops import dd as ddm
+from socp_tpu.ops.dd import DD
+from socp_tpu.ops.ozaki import preslice
+from socp_tpu.solution import Status
+
+
+class DDIPMState(NamedTuple):
+    x: DD
+    y: DD
+    s: DD
+    z: DD
+    k: jax.Array
+    status: jax.Array
+    done: jax.Array
+    best_merit: jax.Array
+    bx: DD
+    by: DD
+    bs: DD
+    bz_: DD
+
+
+def _norm(v: DD) -> jax.Array:
+    if v.hi.shape[0] == 0:
+        return jnp.float32(0.0)
+    return jnp.sqrt(jnp.sum(v.hi * v.hi))
+
+
+def _axpy(x: DD, alpha, d: DD) -> DD:
+    return ddm.add(x, ddm.mul_f32(d, alpha))
+
+
+@partial(jax.jit, static_argnames=("layout", "cfg", "has_P"))
+def solve_core_dd(
+    layout: ConeLayout,
+    cfg: SolverConfig,
+    c64: jax.Array,
+    G64: jax.Array,
+    h64: jax.Array,
+    A64: jax.Array,
+    b64: jax.Array,
+    P64: jax.Array,
+    has_P: bool = False,
+):
+    """dd-native solve of one padded SOCP; f64/f32 inputs, f32 outputs.
+
+    Returns (x, y, s, z, status, iterations, stats) with the same layout as
+    driver.solve_core (arrays in f32).
+    """
+    n = c64.shape[0]
+    p = A64.shape[0]
+    m = layout.m_pad
+    nu = jnp.float32(float(layout.degree))
+    e = dd_ops.identity(layout)
+
+    to_dd = (
+        ddm.from_f64
+        if c64.dtype == jnp.float64
+        else lambda a: ddm.from_f32(a.astype(jnp.float32))
+    )
+    c = to_dd(c64)
+    G = to_dd(G64)
+    h = to_dd(h64)
+    A = to_dd(A64)
+    b = to_dd(b64)
+    P = to_dd(P64) if has_P else None
+
+    # ---- constants sliced once (reused by every matvec in the loop)
+    cm = dd_dense.ConstMats(
+        A_s=preslice(A) if p else None,
+        AT_s=preslice(A.T) if p else None,
+        G_s=preslice(G),
+        GT_s=preslice(G.T),
+        P_s=preslice(P) if has_P else None,
+    )
+
+    norm_b = jnp.maximum(1.0, _norm(b))
+    norm_h = jnp.maximum(1.0, _norm(h))
+    norm_c = jnp.maximum(1.0, _norm(c))
+
+    aug_rho = cfg.aug_rho if p else 0.0
+    if aug_rho:
+        AtA = dd_dense._dd_mm(A.T, A)
+        Paug = ddm.mul_f32(AtA, jnp.float32(aug_rho))
+        if has_P:
+            Paug = ddm.add(Paug, P)
+    else:
+        Paug = P
+
+    def mv(sl, v):
+        return dd_dense.sliced_matvec(sl, v)
+
+    def residuals(x, y, s, z):
+        rx = ddm.add(mv(cm.GT_s, z), c)
+        if p:
+            rx = ddm.add(rx, mv(cm.AT_s, y))
+        if has_P:
+            rx = ddm.add(rx, mv(cm.P_s, x))
+        ry = ddm.sub(mv(cm.A_s, x), b) if p else b
+        rz = ddm.sub(ddm.add(mv(cm.G_s, x), s), h)
+        return rx, ry, rz
+
+    def metrics(x, y, s, z, rx, ry, rz):
+        gap = dd_ops.dd_dot(s, z, axis=0).hi
+        pcost = dd_ops.dd_dot(c, x, axis=0).hi
+        if has_P:
+            pcost = pcost + 0.5 * dd_ops.dd_dot(x, mv(cm.P_s, x), axis=0).hi
+        dcost = (
+            pcost
+            + (dd_ops.dd_dot(y, ry, axis=0).hi if p else 0.0)
+            + dd_ops.dd_dot(z, rz, axis=0).hi
+            - gap
+        )
+        relgap = jnp.where(
+            pcost < 0,
+            gap / -pcost,
+            jnp.where(dcost > 0, gap / dcost, jnp.inf),
+        )
+        pres = jnp.maximum(_norm(ry) / norm_b, _norm(rz) / norm_h)
+        dres = _norm(rx) / norm_c
+        return gap, pcost, dcost, relgap, pres, dres
+
+    def refined(kkt, bx, by, bz):
+        return dd_dense.solve_refined_dd(
+            layout, kkt, cm, A, bx, by, bz,
+            refine_steps=cfg.refine_steps, aug_rho=aug_rho,
+        )
+
+    # ---- init: W = I solves + interior shift
+    sc0 = dd_ops.identity_scaling(layout)
+    zero_n = ddm.from_f32(jnp.zeros((n,), jnp.float32))
+    zero_p = ddm.from_f32(jnp.zeros((p,), jnp.float32))
+    zero_m = ddm.from_f32(jnp.zeros((m,), jnp.float32))
+    kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg)
+    x0, _, z0, _ = refined(kkt0, zero_n, b, h)
+    shat = z0.neg()
+    ap = -dd_ops.lambda_min(layout, shat)
+    s0 = ddm.where(ap < 0, shat, _axpy(shat, 1.0 + ap, e))
+    _, y0, zhat, _ = refined(kkt0, c.neg(), zero_p, zero_m)
+    ad = -dd_ops.lambda_min(layout, zhat)
+    z0 = ddm.where(ad < 0, zhat, _axpy(zhat, 1.0 + ad, e))
+
+    st0 = DDIPMState(
+        x=x0, y=y0, s=s0, z=z0,
+        k=jnp.zeros((), jnp.int32),
+        status=jnp.full((), Status.RUNNING, jnp.int32),
+        done=jnp.zeros((), bool),
+        best_merit=jnp.float32(jnp.inf),
+        bx=x0, by=y0, bs=s0, bz_=z0,
+    )
+
+    def body(st: DDIPMState) -> DDIPMState:
+        x, y, s, z = st.x, st.y, st.s, st.z
+        rx, ry, rz = residuals(x, y, s, z)
+        gap, pcost, dcost, relgap, pres, dres = metrics(
+            x, y, s, z, rx, ry, rz
+        )
+        mu = gap / nu
+        converged = (
+            (pres <= cfg.feastol)
+            & (dres <= cfg.feastol)
+            & ((gap <= cfg.abstol) | (relgap <= cfg.reltol))
+        )
+
+        merit = jnp.maximum(jnp.maximum(pres, dres),
+                            jnp.minimum(relgap, gap))
+        better = (merit < st.best_merit) & ~st.done
+        best_merit = jnp.where(better, merit, st.best_merit)
+        bx = ddm.where(better, x, st.bx)
+        by = ddm.where(better, y, st.by)
+        bs = ddm.where(better, s, st.bs)
+        bz_ = ddm.where(better, z, st.bz_)
+
+        # Farkas certificates
+        hz_by = dd_ops.dd_dot(h, z, axis=0).hi + (
+            dd_ops.dd_dot(y, b, axis=0).hi if p else 0.0
+        )
+        aty_gtz = ddm.add(mv(cm.GT_s, z), mv(cm.AT_s, y)) if p else mv(
+            cm.GT_s, z
+        )
+        pinf = (hz_by < 0) & (_norm(aty_gtz) <= cfg.feastol * -hz_by)
+        cx = dd_ops.dd_dot(c, x, axis=0).hi
+        gx_s = ddm.add(mv(cm.G_s, x), s)
+        dinf_res = jnp.maximum(
+            _norm(mv(cm.A_s, x)) if p else 0.0, _norm(gx_s)
+        )
+        if has_P:
+            dinf_res = jnp.maximum(dinf_res, _norm(mv(cm.P_s, x)))
+        dinf = (cx < 0) & (dinf_res <= cfg.feastol * -cx)
+
+        # ---- hot block
+        scaling = dd_ops.nt_scale(layout, s, z)
+        kkt = dd_dense.factor_dd(layout, scaling, Paug, A, G, cfg.delta_reg)
+        lam = scaling.lam
+
+        def newton(d_s):
+            dtil = dd_ops.jdiv(layout, lam, d_s)
+            rhs_z = ddm.add(rz.neg(), dd_ops.apply_W(layout, scaling, dtil))
+            dx, dy, dz, quality = refined(kkt, rx.neg(), ry.neg(), rhs_z)
+            dz_sc = dd_ops.apply_W(layout, scaling, dz)
+            ds_sc = ddm.add(dtil, dz_sc).neg()
+            return dx, dy, dz, ds_sc, dz_sc, quality
+
+        lam2 = dd_ops.jprod(layout, lam, lam)
+        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(lam2)
+        alpha_a = jnp.minimum(
+            dd_ops.max_step(layout, lam, ds_sc_a),
+            dd_ops.max_step(layout, lam, dz_sc_a),
+        )
+        alpha_a = jnp.minimum(1.0, alpha_a)
+        gap_a = dd_ops.dd_dot(
+            _axpy(lam, alpha_a, ds_sc_a), _axpy(lam, alpha_a, dz_sc_a),
+            axis=0,
+        ).hi
+        sigma = jnp.clip(gap_a / gap, 0.0, 1.0) ** 3
+
+        d_s = ddm.sub(
+            ddm.add(lam2, dd_ops.jprod(layout, ds_sc_a, dz_sc_a)),
+            ddm.mul_f32(e, sigma * mu),
+        )
+        dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
+        ds = dd_ops.apply_W(layout, scaling, ds_sc)
+
+        alpha = jnp.minimum(
+            dd_ops.max_step(layout, lam, ds_sc),
+            dd_ops.max_step(layout, lam, dz_sc),
+        )
+        alpha = jnp.minimum(1.0, cfg.step_frac * alpha)
+
+        step_finite = (
+            jnp.isfinite(alpha)
+            & (alpha > 0)
+            & jnp.isfinite(jnp.sum(dx.hi * dx.hi))
+            & jnp.isfinite(jnp.sum(ds.hi * ds.hi))
+            & jnp.isfinite(jnp.sum(dz.hi * dz.hi))
+        )
+        stalled = quality > cfg.solve_quality_tol
+        numerr = ~step_finite | ~jnp.isfinite(gap) | stalled
+
+        new_status = jnp.where(
+            converged,
+            Status.OPTIMAL,
+            jnp.where(
+                pinf,
+                Status.PRIMAL_INFEASIBLE,
+                jnp.where(
+                    dinf,
+                    Status.DUAL_INFEASIBLE,
+                    jnp.where(numerr, Status.NUMERICAL_ERROR, Status.RUNNING),
+                ),
+            ),
+        ).astype(jnp.int32)
+        done_now = new_status != Status.RUNNING
+        freeze = st.done | done_now
+
+        if cfg.verbose:
+            jax.debug.print(
+                "{k:3d} pcost={pc:+.6e} dcost={dc:+.6e} gap={g:.3e} "
+                "pres={pr:.3e} dres={dr:.3e} step={a:.3f} kktres={q:.1e}",
+                k=st.k, pc=pcost, dc=dcost, g=gap, pr=pres, dr=dres,
+                a=alpha, q=quality,
+            )
+
+        def upd(old: DD, delta: DD) -> DD:
+            return ddm.where(freeze, old, _axpy(old, alpha, delta))
+
+        return DDIPMState(
+            x=upd(x, dx),
+            y=upd(y, dy),
+            z=upd(z, dz),
+            s=upd(s, ds),
+            k=jnp.where(freeze, st.k, st.k + 1),
+            status=jnp.where(st.done, st.status, new_status),
+            done=freeze,
+            best_merit=best_merit,
+            bx=bx, by=by, bs=bs, bz_=bz_,
+        )
+
+    st = lax.while_loop(
+        lambda st: (~st.done) & (st.k < cfg.max_iter), body, st0
+    )
+    status = jnp.where(st.done, st.status, Status.MAX_ITERATIONS).astype(
+        jnp.int32
+    )
+
+    restore = (status == Status.NUMERICAL_ERROR) | (
+        status == Status.MAX_ITERATIONS
+    )
+    x = ddm.where(restore, st.bx, st.x)
+    y = ddm.where(restore, st.by, st.y)
+    s = ddm.where(restore, st.bs, st.s)
+    z = ddm.where(restore, st.bz_, st.z)
+
+    rx, ry, rz = residuals(x, y, s, z)
+    gap, pcost, dcost, relgap, pres, dres = metrics(x, y, s, z, rx, ry, rz)
+    inacc_ok = (
+        (pres <= cfg.feastol_inacc)
+        & (dres <= cfg.feastol_inacc)
+        & ((gap <= cfg.abstol_inacc) | (relgap <= cfg.reltol_inacc))
+    )
+    status = jnp.where(restore & inacc_ok, Status.OPTIMAL, status).astype(
+        jnp.int32
+    )
+    inaccurate = restore & inacc_ok
+
+    stats = jnp.stack(
+        [pcost, dcost, gap, relgap, pres, dres,
+         inaccurate.astype(jnp.float32)]
+    )
+    # return dd values recombined into f32 pairs summed in f64 off-device;
+    # emit hi+lo separately? hi alone is f32-accurate for the user.
+    def out(v: DD):
+        return v.hi + v.lo  # f32 (lo adds the sub-ulp correction)
+
+    return out(x), out(y), out(s), out(z), status, st.k, stats

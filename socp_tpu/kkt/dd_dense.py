@@ -126,3 +126,147 @@ def solve(
     Gdx = dd_matmul(kkt.Ghat, dx).astype_f64()[:, 0]
     dz = cops.apply_Winv(layout, kkt.scaling, Gdx - bhz)
     return _unvec(dx), dy, dz
+
+
+# ---------------------------------------------------------------------------
+# dd-NATIVE variants: used by ipm/dd_driver.py, where the IPM carries
+# themselves are dd32 and no f64 appears anywhere in the hot loop.
+# ---------------------------------------------------------------------------
+
+from socp_tpu.cones import dd_ops
+from socp_tpu.ops.ozaki import SlicedMat, dd_matmul as _dd_mm, preslice, sliced_matmul
+
+
+def _svec(x: DD) -> DD:
+    return DD(x.hi[:, None], x.lo[:, None])
+
+
+def _scol(x: DD) -> DD:
+    return DD(x.hi[:, 0], x.lo[:, 0])
+
+
+def sliced_matvec(A: SlicedMat, x: DD) -> DD:
+    return _scol(sliced_matmul(A, _svec(x)))
+
+
+class DDKKTn(NamedTuple):
+    """dd-native factored condensed system."""
+
+    L_H: DDEqChol
+    L_S: DDEqChol
+    Ghat_s: SlicedMat          # (m, n) presliced:      v -> Ghat v
+    GhatT_s: SlicedMat         # (n, m) presliced:      v -> Ghat' v
+    scaling: "dd_ops.DDScaling"
+
+
+def factor_dd(
+    layout: ConeLayout,
+    scaling,
+    Paug: DD | None,
+    A: DD,
+    G: DD,
+    delta: float = 0.0,
+) -> DDKKTn:
+    p = A.hi.shape[0]
+    Ghat = dd_ops.scale_rows_Winv(layout, scaling, G)
+    GhatT_s = preslice(Ghat.T)
+    Ghat_s = preslice(Ghat)
+    H = sliced_matmul(GhatT_s, Ghat)
+    if Paug is not None:
+        H = ddm.add(H, Paug)
+    L_H = _dd_eq_chol(H, delta)
+    if p:
+        HinvAT = L_H.solve(A.T)
+        S = _dd_mm(A, HinvAT)
+        L_S = _dd_eq_chol(S, delta)
+    else:
+        z2 = jnp.zeros((0, 0), jnp.float32)
+        z1 = jnp.zeros((0,), jnp.float32)
+        L_S = DDEqChol(L=DD(z2, z2), d=DD(z1, z1))
+    return DDKKTn(L_H=L_H, L_S=L_S, Ghat_s=Ghat_s, GhatT_s=GhatT_s,
+                  scaling=scaling)
+
+
+def solve_dd(
+    layout: ConeLayout,
+    kkt: DDKKTn,
+    A: DD,
+    bx: DD,
+    by: DD,
+    bz: DD,
+    aug_rho: float = 0.0,
+) -> tuple[DD, DD, DD]:
+    """One dd-native condensed back-solve (dd in, dd out)."""
+    p = A.hi.shape[0]
+    bhz = dd_ops.apply_Winv(layout, kkt.scaling, bz)
+    btx = ddm.add(bx, sliced_matvec(kkt.GhatT_s, bhz))
+    if p:
+        t1 = kkt.L_H.solve(_svec(btx))
+        rhs_S = ddm.sub(_dd_mm(A, t1), _svec(by))
+        yhat = kkt.L_S.solve(rhs_S)
+        dx = _scol(kkt.L_H.solve(ddm.sub(_svec(btx), _dd_mm(A.T, yhat))))
+        dy = _scol(yhat)
+        if aug_rho:
+            dy = ddm.add(dy, ddm.mul_f32(by, jnp.float32(aug_rho)))
+    else:
+        dy = by
+        dx = _scol(kkt.L_H.solve(_svec(btx)))
+    dz = dd_ops.apply_Winv(
+        layout, kkt.scaling, ddm.sub(sliced_matvec(kkt.Ghat_s, dx), bhz)
+    )
+    return dx, dy, dz
+
+
+class ConstMats(NamedTuple):
+    """Pre-sliced constant problem data (sliced once per solve)."""
+
+    A_s: SlicedMat | None      # (p, n)
+    AT_s: SlicedMat | None     # (n, p)
+    G_s: SlicedMat             # (m, n)
+    GT_s: SlicedMat            # (n, m)
+    P_s: SlicedMat | None      # (n, n)
+
+
+def solve_refined_dd(
+    layout: ConeLayout,
+    kkt: DDKKTn,
+    cm: ConstMats,
+    A: DD,
+    bx: DD,
+    by: DD,
+    bz: DD,
+    refine_steps: int = 0,
+    aug_rho: float = 0.0,
+):
+    """dd-native solve + refinement on the full 3x3 residual.
+
+    Residual matvecs reuse the pre-sliced constant G/A/P — each is a
+    handful of bf16 MXU passes, no f64 anywhere.
+    """
+    p = A.hi.shape[0]
+    dx, dy, dz = solve_dd(layout, kkt, A, bx, by, bz, aug_rho=aug_rho)
+    quality = jnp.zeros((), jnp.float32)
+    if refine_steps <= 0:
+        return dx, dy, dz, quality
+
+    def nrm2(v: DD):
+        return jnp.sum(v.hi * v.hi)
+
+    rhs_norm = jnp.sqrt(nrm2(bx) + nrm2(by) + nrm2(bz)) + 1.0
+    for _ in range(refine_steps):
+        rx = ddm.sub(bx, sliced_matvec(cm.GT_s, dz))
+        if p:
+            rx = ddm.sub(rx, sliced_matvec(cm.AT_s, dy))
+        if cm.P_s is not None:
+            rx = ddm.sub(rx, sliced_matvec(cm.P_s, dx))
+        ry = by if not p else ddm.sub(by, sliced_matvec(cm.A_s, dx))
+        WWdz = dd_ops.apply_W(
+            layout, kkt.scaling, dd_ops.apply_W(layout, kkt.scaling, dz)
+        )
+        rz = ddm.sub(bz, ddm.sub(sliced_matvec(cm.G_s, dx), WWdz))
+        quality = jnp.sqrt(nrm2(rx) + nrm2(ry) + nrm2(rz)) / rhs_norm
+        ex, ey, ez = solve_dd(layout, kkt, A, rx, ry, rz, aug_rho=aug_rho)
+        dx = ddm.add(dx, ex)
+        dy = ddm.add(dy, ey)
+        dz = ddm.add(dz, ez)
+    return dx, dy, dz, quality

@@ -75,6 +75,24 @@ def _slices(x: DD, scale: jax.Array) -> jax.Array:
     return jnp.stack(out)
 
 
+from typing import NamedTuple
+
+
+class SlicedMat(NamedTuple):
+    """A pre-sliced dd matrix: reuse across many multiplies (constant
+    problem data G/A/P are sliced ONCE per solve; only the skinny variable
+    operand is sliced per matvec)."""
+
+    S: jax.Array       # (T, p, m) slice integers (bf16 on TPU, f32 on CPU)
+    scale: jax.Array   # (p, 1) power-of-two row scales
+
+
+def preslice(a: DD) -> SlicedMat:
+    """Slice a (p, m) dd matrix along its rows (contraction over axis 1)."""
+    sa = _pow2_colscale(a, axis=1)
+    return SlicedMat(S=_slices(a, sa), scale=sa)
+
+
 def dd_matmul(a: DD, b: DD) -> DD:
     """C = a @ b for dd32 matrices a (p, m), b (m, q) -> dd32 (p, q).
 
@@ -92,31 +110,41 @@ def dd_matmul(a: DD, b: DD) -> DD:
                               b[s : s + MAX_CONTRACT, :])
             out = piece if out is None else ddm.add(out, piece)
         return out
+    return sliced_matmul(preslice(a), b)
 
-    sa = _pow2_colscale(a, axis=1)         # (p, 1) row scales of a
+
+def sliced_matmul(A: SlicedMat, b: DD) -> DD:
+    """C = A @ b with A pre-sliced (T, p, m) and b dd (m, q)."""
+    m = b.hi.shape[0]
+    assert m <= MAX_CONTRACT and m == A.S.shape[2]
+    sa = A.scale
     sb = _pow2_colscale(b, axis=0)         # (1, q) col scales of b
-    A = _slices(a, sa)                     # (T, p, m) bf16
-    B = _slices(b, sb)                     # (T, m, q) bf16
+    B = _slices(b, sb)                     # (T, m, q)
 
-    # Each single GEMM is exact (integer partial sums < 2^24 for
-    # m <= MAX_CONTRACT).  Summing the k+1 GEMMs of one diagonal in plain
-    # f32 could exceed 2^24 and round, so accumulate with two_sum
-    # compensation (exact).  Then dd-combine diagonals with exact 2^-7k
-    # scaling.
+    # All needed (t, u) slice pairs (t + u <= T-1) run as ONE batched
+    # dot_general — 28 MXU passes in a single op (smaller graph, better
+    # scheduling than 28 separate dots).  Each pair's GEMM is exact
+    # (integer partial sums < 2^24 for m <= MAX_CONTRACT); the per-diagonal
+    # combination uses two_sum compensation (f32 sums of the k+1 pair
+    # results could exceed 2^24), then diagonals dd-combine with exact
+    # 2^-7k scaling.
+    pairs = [(t, k - t) for k in range(N_SLICES) for t in range(k + 1)]
+    At = jnp.stack([A.S[t] for t, _ in pairs])      # (P, p, m)
+    Bu = jnp.stack([B[u] for _, u in pairs])        # (P, m, q)
+    prods = jax.lax.dot_general(
+        At, Bu,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                # (P, p, q)
     acc = None
+    idx = 0
     for k in range(N_SLICES):
-        dk_hi = dk_lo = None
-        for t in range(k + 1):
-            prod = jax.lax.dot_general(
-                A[t], B[k - t],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if dk_hi is None:
-                dk_hi, dk_lo = prod, jnp.zeros_like(prod)
-            else:
-                dk_hi, e = ddm.two_sum(dk_hi, prod)
-                dk_lo = dk_lo + e
+        dk_hi = prods[idx]
+        dk_lo = jnp.zeros_like(dk_hi)
+        for t in range(1, k + 1):
+            dk_hi, e2 = ddm.two_sum(dk_hi, prods[idx + t])
+            dk_lo = dk_lo + e2
+        idx += k + 1
         dk = DD(*ddm.quick_two_sum(dk_hi, dk_lo))
         term = ddm.mul_f32(dk, jnp.float32(2.0 ** (-12 - _W * k)))
         acc = term if acc is None else ddm.add(acc, term)

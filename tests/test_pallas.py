@@ -1,0 +1,50 @@
+"""Pallas kernels vs their jnp reference implementations (interpret mode on
+CPU; compiled on real TPU — SURVEY.md 4.2 kernel-test row)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from socp_tpu.ops import dd as ddm
+from socp_tpu.ops.dd_linalg import dd_cholesky
+from socp_tpu.ops.pallas_chol import cholesky_dd, cholesky_f32
+
+
+def _spd(rng, n, kappa=1e4):
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    ev = np.logspace(-np.log10(kappa), 0, n)
+    H = (Q * ev) @ Q.T
+    return (H + H.T) / 2
+
+
+def test_pallas_chol_f32():
+    rng = np.random.default_rng(0)
+    H = _spd(rng, 32).astype(np.float32)
+    L = jax.jit(cholesky_f32)(jnp.asarray(H))
+    ref = jnp.linalg.cholesky(jnp.asarray(H))
+    np.testing.assert_allclose(np.asarray(L), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_pallas_chol_f32_batched():
+    rng = np.random.default_rng(1)
+    Hs = np.stack([_spd(rng, 16) for _ in range(4)]).astype(np.float32)
+    L = jax.jit(jax.vmap(cholesky_f32))(jnp.asarray(Hs))
+    ref = jnp.linalg.cholesky(jnp.asarray(Hs))
+    np.testing.assert_allclose(np.asarray(L), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_pallas_chol_dd():
+    rng = np.random.default_rng(2)
+    H64 = _spd(rng, 24, kappa=1e8)
+    Hdd = ddm.from_f64(jnp.asarray(H64))
+    L = jax.jit(cholesky_dd)(Hdd)
+    ref = dd_cholesky(Hdd)
+    np.testing.assert_allclose(
+        np.asarray(L.astype_f64()), np.asarray(ref.astype_f64()),
+        rtol=1e-10, atol=1e-12,
+    )
+    L64 = np.linalg.cholesky(H64)
+    err = np.max(np.abs(np.asarray(L.astype_f64()) - L64)) / np.abs(L64).max()
+    assert err < 1e-9
