@@ -2,6 +2,8 @@
 
 Runs the batched robust-LS workload (BASELINE config 3 shape) through each
 precision path and prints solves/s + accuracy, to pick bench.py's default.
+Device-resident timing (see bench.py): inputs are uploaded once, reps sync
+on the tiny status vector only.
 
 Usage: python scripts/perf_compare.py [--batch B] [--n N] [--paths a,b,c]
 """
@@ -33,8 +35,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--n", type=int, default=100)
-    ap.add_argument("--paths", default="f64,f64_f32factor,f64_ddfactor,dd32")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--paths", default="f64_ddfactor,dd32")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -52,16 +54,20 @@ def main():
         cfg = SolverConfig(**kw)
         try:
             t0 = time.time()
-            out = socp_tpu.solve_batch_raw(c, G, h, dims, config=cfg,
-                                           dtype=np.dtype(dtype))
+            fn, dev_args, _ = socp_tpu.prepare_batch(
+                c, G, h, dims, config=cfg, dtype=np.dtype(dtype)
+            )
+            out = fn(*dev_args)
+            status = np.asarray(out[4])
             compile_s = time.time() - t0
             best = np.inf
             for _ in range(args.reps):
                 t0 = time.time()
-                out = socp_tpu.solve_batch_raw(c, G, h, dims, config=cfg,
-                                               dtype=np.dtype(dtype))
+                out = fn(*dev_args)
+                status = np.asarray(out[4])
                 best = min(best, time.time() - t0)
-            status, iters, stats = out[4], out[5], out[6]
+            iters = np.asarray(out[5])
+            stats = np.asarray(out[6], np.float64)
             ok = int((status == 0).sum())
             max_gap = float(stats[:, 2].max())
             max_pres = float(stats[:, 4].max())

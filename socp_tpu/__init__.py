@@ -8,7 +8,8 @@ lockstep vmap batching, mesh-sharded block-Schur KKT, and Pallas kernels on
 the hot paths.
 """
 
-from socp_tpu.api import solve, solve_batch, solve_batch_raw
+from socp_tpu.api import (prepare_batch, solve, solve_batch,
+                          solve_batch_raw)
 from socp_tpu.config import DEFAULT_CONFIG, KKTStrategy, SolverConfig
 from socp_tpu.problem import ConeDims, SocpProblem
 from socp_tpu.solution import Solution, Status
@@ -19,6 +20,7 @@ __all__ = [
     "solve",
     "solve_batch",
     "solve_batch_raw",
+    "prepare_batch",
     "SolverConfig",
     "DEFAULT_CONFIG",
     "KKTStrategy",

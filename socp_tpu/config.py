@@ -50,6 +50,12 @@ class SolverConfig:
     # Iterative-refinement rounds applied to every KKT solve (residual of the
     # full 3x3 system, re-solve with the cached factorization, correct).
     refine_steps: int = 1
+    # Refinement rounds for the affine (predictor) direction only.  Its
+    # accuracy barely matters — it just sets sigma and the corrector RHS —
+    # so skipping its refinement drops one back-solve + one residual pass
+    # per IPM iteration at no accuracy cost (the combined direction, which
+    # the iterate actually steps along, keeps refine_steps).
+    refine_affine: int = 0
     # Compute residuals/refinement in f64 even when iterates are f32.
     refine_in_f64: bool = False
     # Factorization dtype ("float32" or None = carry dtype).  The

@@ -123,20 +123,21 @@ def solve_core_dd(
         return dd_dense.sliced_matvec(sl, v)
 
     def residuals(x, y, s, z):
+        Px = mv(cm.P_s, x) if has_P else None
         rx = ddm.add(mv(cm.GT_s, z), c)
         if p:
             rx = ddm.add(rx, mv(cm.AT_s, y))
         if has_P:
-            rx = ddm.add(rx, mv(cm.P_s, x))
+            rx = ddm.add(rx, Px)
         ry = ddm.sub(mv(cm.A_s, x), b) if p else b
         rz = ddm.sub(ddm.add(mv(cm.G_s, x), s), h)
-        return rx, ry, rz
+        return rx, ry, rz, Px
 
-    def metrics(x, y, s, z, rx, ry, rz):
+    def metrics(x, y, s, z, rx, ry, rz, Px):
         gap = dd_ops.dd_dot(s, z, axis=0).hi
         pcost = dd_ops.dd_dot(c, x, axis=0).hi
         if has_P:
-            pcost = pcost + 0.5 * dd_ops.dd_dot(x, mv(cm.P_s, x), axis=0).hi
+            pcost = pcost + 0.5 * dd_ops.dd_dot(x, Px, axis=0).hi
         dcost = (
             pcost
             + (dd_ops.dd_dot(y, ry, axis=0).hi if p else 0.0)
@@ -152,10 +153,11 @@ def solve_core_dd(
         dres = _norm(rx) / norm_c
         return gap, pcost, dcost, relgap, pres, dres
 
-    def refined(kkt, bx, by, bz):
+    def refined(kkt, bx, by, bz, steps=None):
         return dd_dense.solve_refined_dd(
             layout, kkt, cm, A, bx, by, bz,
-            refine_steps=cfg.refine_steps, aug_rho=aug_rho,
+            refine_steps=cfg.refine_steps if steps is None else steps,
+            aug_rho=aug_rho,
         )
 
     # ---- init: W = I solves + interior shift
@@ -183,9 +185,9 @@ def solve_core_dd(
 
     def body(st: DDIPMState) -> DDIPMState:
         x, y, s, z = st.x, st.y, st.s, st.z
-        rx, ry, rz = residuals(x, y, s, z)
+        rx, ry, rz, Px = residuals(x, y, s, z)
         gap, pcost, dcost, relgap, pres, dres = metrics(
-            x, y, s, z, rx, ry, rz
+            x, y, s, z, rx, ry, rz, Px
         )
         mu = gap / nu
         converged = (
@@ -203,21 +205,19 @@ def solve_core_dd(
         bs = ddm.where(better, s, st.bs)
         bz_ = ddm.where(better, z, st.bz_)
 
-        # Farkas certificates
+        # Farkas certificates, read off the residuals (zero extra matvecs):
+        # A'y + G'z = rx - c (- Px), Ax = ry + b, Gx + s = rz + h.
         hz_by = dd_ops.dd_dot(h, z, axis=0).hi + (
             dd_ops.dd_dot(y, b, axis=0).hi if p else 0.0
         )
-        aty_gtz = ddm.add(mv(cm.GT_s, z), mv(cm.AT_s, y)) if p else mv(
-            cm.GT_s, z
-        )
+        aty_gtz = ddm.sub(rx, c) if not has_P else ddm.sub(ddm.sub(rx, c), Px)
         pinf = (hz_by < 0) & (_norm(aty_gtz) <= cfg.feastol * -hz_by)
         cx = dd_ops.dd_dot(c, x, axis=0).hi
-        gx_s = ddm.add(mv(cm.G_s, x), s)
         dinf_res = jnp.maximum(
-            _norm(mv(cm.A_s, x)) if p else 0.0, _norm(gx_s)
+            _norm(ddm.add(ry, b)) if p else 0.0, _norm(ddm.add(rz, h))
         )
         if has_P:
-            dinf_res = jnp.maximum(dinf_res, _norm(mv(cm.P_s, x)))
+            dinf_res = jnp.maximum(dinf_res, _norm(Px))
         dinf = (cx < 0) & (dinf_res <= cfg.feastol * -cx)
 
         # ---- hot block
@@ -225,16 +225,19 @@ def solve_core_dd(
         kkt = dd_dense.factor_dd(layout, scaling, Paug, A, G, cfg.delta_reg)
         lam = scaling.lam
 
-        def newton(d_s):
+        def newton(d_s, steps=None):
             dtil = dd_ops.jdiv(layout, lam, d_s)
             rhs_z = ddm.add(rz.neg(), dd_ops.apply_W(layout, scaling, dtil))
-            dx, dy, dz, quality = refined(kkt, rx.neg(), ry.neg(), rhs_z)
+            dx, dy, dz, quality = refined(kkt, rx.neg(), ry.neg(), rhs_z,
+                                          steps=steps)
             dz_sc = dd_ops.apply_W(layout, scaling, dz)
             ds_sc = ddm.add(dtil, dz_sc).neg()
             return dx, dy, dz, ds_sc, dz_sc, quality
 
         lam2 = dd_ops.jprod(layout, lam, lam)
-        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(lam2)
+        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(
+            lam2, steps=cfg.refine_affine
+        )
         alpha_a = jnp.minimum(
             dd_ops.max_step(layout, lam, ds_sc_a),
             dd_ops.max_step(layout, lam, dz_sc_a),
@@ -323,8 +326,10 @@ def solve_core_dd(
     s = ddm.where(restore, st.bs, st.s)
     z = ddm.where(restore, st.bz_, st.z)
 
-    rx, ry, rz = residuals(x, y, s, z)
-    gap, pcost, dcost, relgap, pres, dres = metrics(x, y, s, z, rx, ry, rz)
+    rx, ry, rz, Px = residuals(x, y, s, z)
+    gap, pcost, dcost, relgap, pres, dres = metrics(
+        x, y, s, z, rx, ry, rz, Px
+    )
     inacc_ok = (
         (pres <= cfg.feastol_inacc)
         & (dres <= cfg.feastol_inacc)

@@ -91,16 +91,17 @@ def solve_core(
         Paug = Pmat
 
     def residuals(x, y, s, z):
+        Px = P @ x if has_P else None
         rx = A.T @ y + G.T @ z + c
         if has_P:
-            rx = rx + P @ x
+            rx = rx + Px
         ry = A @ x - b
         rz = G @ x + s - h
-        return rx, ry, rz
+        return rx, ry, rz, Px
 
-    def metrics(x, y, s, z, rx, ry, rz):
+    def metrics(x, y, s, z, rx, ry, rz, Px):
         gap = s @ z
-        pcost = c @ x + (0.5 * x @ (P @ x) if has_P else 0.0)
+        pcost = c @ x + (0.5 * x @ Px if has_P else 0.0)
         dcost = pcost + y @ ry + z @ rz - gap
         relgap = jnp.where(
             pcost < 0,
@@ -111,10 +112,10 @@ def solve_core(
         dres = _norm(rx) / norm_c
         return gap, pcost, dcost, relgap, pres, dres
 
-    def refined(kkt, bx, by, bz):
+    def refined(kkt, bx, by, bz, steps=None):
         return dense.solve_refined(
             layout, kkt, Pmat, A, G, bx, by, bz,
-            refine_steps=cfg.refine_steps,
+            refine_steps=cfg.refine_steps if steps is None else steps,
             refine_in_f64=cfg.refine_in_f64,
             aug_rho=aug_rho,
         )
@@ -144,9 +145,9 @@ def solve_core(
 
     def body(st: IPMState) -> IPMState:
         x, y, s, z = st.x, st.y, st.s, st.z
-        rx, ry, rz = residuals(x, y, s, z)
+        rx, ry, rz, Px = residuals(x, y, s, z)
         gap, pcost, dcost, relgap, pres, dres = metrics(
-            x, y, s, z, rx, ry, rz
+            x, y, s, z, rx, ry, rz, Px
         )
         mu = gap / nu
         converged = (
@@ -165,14 +166,17 @@ def solve_core(
         bs = jnp.where(better, s, st.bs)
         bz_ = jnp.where(better, z, st.bz_)
 
-        # Farkas-style infeasibility certificates (oracle-identical).
+        # Farkas-style infeasibility certificates (oracle-identical), read
+        # off the residuals instead of fresh matvecs: A'y + G'z = rx - c
+        # (- Px), Ax = ry + b, Gx + s = rz + h.
         hz_by = h @ z + (y @ b if p else 0.0)
-        pinf_res = _norm(A.T @ y + G.T @ z)
+        pinf_vec = rx - c - Px if has_P else rx - c
+        pinf_res = _norm(pinf_vec)
         pinf = (hz_by < 0) & (pinf_res <= cfg.feastol * -hz_by)
         cx = c @ x
-        dinf_res = jnp.maximum(_norm(A @ x), _norm(G @ x + s))
+        dinf_res = jnp.maximum(_norm(ry + b), _norm(rz + h))
         if has_P:
-            dinf_res = jnp.maximum(dinf_res, _norm(P @ x))
+            dinf_res = jnp.maximum(dinf_res, _norm(Px))
         dinf = (cx < 0) & (dinf_res <= cfg.feastol * -cx)
 
         # ---- NT scaling + KKT factor (the hot block)
@@ -181,12 +185,13 @@ def solve_core(
                            factor_dtype=cfg.factor_dtype)
         lam = scaling.lam
 
-        def newton(d_s):
+        def newton(d_s, steps=None):
             """Direction for complementarity target d_s; returns scaled
             ds/dz too (dz_sc = W dz, ds = W ds_sc)."""
             dtil = cops.jdiv(layout, lam, d_s)
             dx, dy, dz, quality = refined(
-                kkt, -rx, -ry, -rz + cops.apply_W(layout, scaling, dtil)
+                kkt, -rx, -ry, -rz + cops.apply_W(layout, scaling, dtil),
+                steps=steps,
             )
             dz_sc = cops.apply_W(layout, scaling, dz)
             ds_sc = -(dtil + dz_sc)
@@ -194,7 +199,9 @@ def solve_core(
 
         # affine (predictor)
         lam2 = cops.jprod(layout, lam, lam)
-        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(lam2)
+        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(
+            lam2, steps=cfg.refine_affine
+        )
         alpha_a = jnp.minimum(
             cops.max_step(layout, lam, ds_sc_a),
             cops.max_step(layout, lam, dz_sc_a),
@@ -285,8 +292,10 @@ def solve_core(
     s = jnp.where(restore, st.bs, st.s)
     z = jnp.where(restore, st.bz_, st.z)
 
-    rx, ry, rz = residuals(x, y, s, z)
-    gap, pcost, dcost, relgap, pres, dres = metrics(x, y, s, z, rx, ry, rz)
+    rx, ry, rz, Px = residuals(x, y, s, z)
+    gap, pcost, dcost, relgap, pres, dres = metrics(
+        x, y, s, z, rx, ry, rz, Px
+    )
     inacc_ok = (
         (pres <= cfg.feastol_inacc)
         & (dres <= cfg.feastol_inacc)

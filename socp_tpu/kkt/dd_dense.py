@@ -22,8 +22,9 @@ from socp_tpu.cones import ops as cops
 from socp_tpu.cones.layout import ConeLayout
 from socp_tpu.ops import dd as ddm
 from socp_tpu.ops.dd import DD
-from socp_tpu.ops.dd_linalg import dd_chol_solve, dd_cholesky
-from socp_tpu.ops.ozaki import dd_matmul
+from socp_tpu.ops.dd_linalg import dd_chol_solve, dd_cholesky_blocked
+from socp_tpu.ops.ozaki import (SlicedMat, dd_matmul, preslice,
+                                sliced_gram, sliced_matmul)
 
 
 class DDEqChol(NamedTuple):
@@ -50,13 +51,14 @@ def _dd_eq_chol(M: DD, delta: float) -> DDEqChol:
     if delta:
         eye = jnp.eye(n, dtype=jnp.float32)
         Mn = ddm.add(Mn, ddm.from_f32(jnp.float32(delta) * eye))
-    return DDEqChol(L=dd_cholesky(Mn), d=d)
+    return DDEqChol(L=dd_cholesky_blocked(Mn), d=d)
 
 
 class DDKKT(NamedTuple):
     L_H: DDEqChol
     L_S: DDEqChol
-    Ghat: DD                   # (m_pad, n) dd
+    Ghat_s: "SlicedMat"        # (m_pad, n) presliced:  v -> Ghat v
+    GhatT_s: "SlicedMat"       # (n, m_pad) presliced:  v -> Ghat' v
     scaling: cops.Scaling      # carry-dtype (f64) NT scaling for cone ops
     # duck-typing marker used by kkt.dense dispatch
     is_dd: bool = True
@@ -81,7 +83,10 @@ def factor(
     p = A.shape[0]
     Ghat64 = cops.scale_rows_Winv(layout, scaling, G)
     Ghat = ddm.from_f64(Ghat64)
-    H = dd_matmul(Ghat.T, Ghat)
+    # preslice once: every back-solve's Ghat/Ghat' matvec reuses the slices
+    GhatT_s = preslice(Ghat.T)
+    Ghat_s = preslice(Ghat)
+    H = sliced_gram(GhatT_s)
     if Paug is not None:
         H = ddm.add(H, ddm.from_f64(Paug))
     L_H = _dd_eq_chol(H, delta)
@@ -94,7 +99,8 @@ def factor(
         z2 = jnp.zeros((0, 0), jnp.float32)
         z1 = jnp.zeros((0,), jnp.float32)
         L_S = DDEqChol(L=DD(z2, z2), d=DD(z1, z1))
-    return DDKKT(L_H=L_H, L_S=L_S, Ghat=Ghat, scaling=scaling)
+    return DDKKT(L_H=L_H, L_S=L_S, Ghat_s=Ghat_s, GhatT_s=GhatT_s,
+                 scaling=scaling)
 
 
 def solve(
@@ -111,7 +117,7 @@ def solve(
     bhz = cops.apply_Winv(layout, kkt.scaling, bz)          # f64 cone op
     btx = ddm.add(
         _vec(ddm.from_f64(bx)),
-        dd_matmul(kkt.Ghat.T, _vec(ddm.from_f64(bhz))),
+        sliced_matmul(kkt.GhatT_s, _vec(ddm.from_f64(bhz))),
     )
     if p:
         A_dd = ddm.from_f64(A)
@@ -123,7 +129,7 @@ def solve(
     else:
         dy = by
         dx = kkt.L_H.solve(btx)
-    Gdx = dd_matmul(kkt.Ghat, dx).astype_f64()[:, 0]
+    Gdx = sliced_matmul(kkt.Ghat_s, dx).astype_f64()[:, 0]
     dz = cops.apply_Winv(layout, kkt.scaling, Gdx - bhz)
     return _unvec(dx), dy, dz
 
@@ -134,7 +140,8 @@ def solve(
 # ---------------------------------------------------------------------------
 
 from socp_tpu.cones import dd_ops
-from socp_tpu.ops.ozaki import SlicedMat, dd_matmul as _dd_mm, preslice, sliced_matmul
+
+_dd_mm = dd_matmul
 
 
 def _svec(x: DD) -> DD:
@@ -171,7 +178,7 @@ def factor_dd(
     Ghat = dd_ops.scale_rows_Winv(layout, scaling, G)
     GhatT_s = preslice(Ghat.T)
     Ghat_s = preslice(Ghat)
-    H = sliced_matmul(GhatT_s, Ghat)
+    H = sliced_gram(GhatT_s)
     if Paug is not None:
         H = ddm.add(H, Paug)
     L_H = _dd_eq_chol(H, delta)

@@ -113,43 +113,100 @@ def dd_matmul(a: DD, b: DD) -> DD:
     return sliced_matmul(preslice(a), b)
 
 
+# Largest exact f32 accumulation: slice products are integers <= 65^2, and
+# partial sums stay exactly representable while count * 65^2 < 2^24.
+_MAX_EXACT_TERMS = (1 << 24) // (65 * 65)  # 3971
+
+
 def sliced_matmul(A: SlicedMat, b: DD) -> DD:
-    """C = A @ b with A pre-sliced (T, p, m) and b dd (m, q)."""
+    """C = A @ b with A pre-sliced (T, p, m) and b dd (m, q).
+
+    Diagonal-stacked formulation: the k-th correction diagonal
+    D_k = sum_{t+u=k} A_t B_u is computed as ONE matmul by concatenating
+    the k+1 slice pairs along the contraction axis — the cross-pair sum
+    happens inside the MXU's f32 accumulator instead of as k separate
+    (p, q) partial products in HBM.  Exactness is preserved while
+    (k+1)*m*65^2 < 2^24 (all summands are integers); longer contractions
+    split into groups of g = _MAX_EXACT_TERMS // m pairs combined with
+    two_sum compensation.  vs the flat 28-pair batched-dot version this
+    materializes 7 instead of 28 (p, q) f32 products — the Gram step went
+    from 22 ms to ~its memory-bound floor at B=256, n=102, m=312 (see
+    scripts/component_cost.py).
+    """
     m = b.hi.shape[0]
     assert m <= MAX_CONTRACT and m == A.S.shape[2]
     sa = A.scale
     sb = _pow2_colscale(b, axis=0)         # (1, q) col scales of b
     B = _slices(b, sb)                     # (T, m, q)
 
-    # All needed (t, u) slice pairs (t + u <= T-1) run as ONE batched
-    # dot_general — 28 MXU passes in a single op (smaller graph, better
-    # scheduling than 28 separate dots).  Each pair's GEMM is exact
-    # (integer partial sums < 2^24 for m <= MAX_CONTRACT); the per-diagonal
-    # combination uses two_sum compensation (f32 sums of the k+1 pair
-    # results could exceed 2^24), then diagonals dd-combine with exact
-    # 2^-7k scaling.
-    pairs = [(t, k - t) for k in range(N_SLICES) for t in range(k + 1)]
-    At = jnp.stack([A.S[t] for t, _ in pairs])      # (P, p, m)
-    Bu = jnp.stack([B[u] for _, u in pairs])        # (P, m, q)
-    prods = jax.lax.dot_general(
-        At, Bu,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                # (P, p, q)
+    g = max(1, min(N_SLICES, _MAX_EXACT_TERMS // max(m, 1)))
     acc = None
-    idx = 0
     for k in range(N_SLICES):
-        dk_hi = prods[idx]
-        dk_lo = jnp.zeros_like(dk_hi)
-        for t in range(1, k + 1):
-            dk_hi, e2 = ddm.two_sum(dk_hi, prods[idx + t])
-            dk_lo = dk_lo + e2
-        idx += k + 1
+        dk_hi = None
+        dk_lo = None
+        for t0 in range(0, k + 1, g):
+            ts = range(t0, min(t0 + g, k + 1))
+            if len(ts) == 1:
+                t = ts[0]
+                part = jax.lax.dot_general(
+                    A.S[t], B[k - t],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                Lk = jnp.concatenate([A.S[t] for t in ts], axis=1)
+                Rk = jnp.concatenate([B[k - t] for t in ts], axis=0)
+                part = jax.lax.dot_general(
+                    Lk, Rk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if dk_hi is None:
+                dk_hi, dk_lo = part, jnp.zeros_like(part)
+            else:
+                dk_hi, e2 = ddm.two_sum(dk_hi, part)
+                dk_lo = dk_lo + e2
         dk = DD(*ddm.quick_two_sum(dk_hi, dk_lo))
         term = ddm.mul_f32(dk, jnp.float32(2.0 ** (-12 - _W * k)))
         acc = term if acc is None else ddm.add(acc, term)
     # restore scales (powers of two: exact on both words)
     s = sa * sb                             # (p, q) via broadcasting
+    return DD(acc.hi * s, acc.lo * s)
+
+
+def sliced_gram(A: SlicedMat) -> DD:
+    """C = M @ M.T for a presliced M (p, m) — both operand sides reuse M's
+    slices (the b-side slices are just their transposes, with the same
+    power-of-two scales), so the Gram costs ZERO extra slicing passes.
+    Slicing is the memory-bound part of the Ozaki scheme (7 peeled passes
+    over the full matrix); the KKT factor already preslices W^-1 G for the
+    back-solves, making its Gram slicing entirely free.
+    """
+    p, m = A.S.shape[1], A.S.shape[2]
+    assert m <= MAX_CONTRACT
+    g = max(1, min(N_SLICES, _MAX_EXACT_TERMS // max(m, 1)))
+    acc = None
+    for k in range(N_SLICES):
+        dk_hi = None
+        dk_lo = None
+        for t0 in range(0, k + 1, g):
+            ts = range(t0, min(t0 + g, k + 1))
+            Lk = jnp.concatenate([A.S[t] for t in ts], axis=1)
+            Rk = jnp.concatenate([A.S[k - t] for t in ts], axis=1)
+            part = jax.lax.dot_general(
+                Lk, Rk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dk_hi is None:
+                dk_hi, dk_lo = part, jnp.zeros_like(part)
+            else:
+                dk_hi, e2 = ddm.two_sum(dk_hi, part)
+                dk_lo = dk_lo + e2
+        dk = DD(*ddm.quick_two_sum(dk_hi, dk_lo))
+        term = ddm.mul_f32(dk, jnp.float32(2.0 ** (-12 - _W * k)))
+        acc = term if acc is None else ddm.add(acc, term)
+    s = A.scale * A.scale.reshape(1, -1)     # (p, p)
     return DD(acc.hi * s, acc.lo * s)
 
 

@@ -98,3 +98,23 @@ def test_ozaki_matvec():
                            ddm.from_f64(jnp.asarray(x64)))
     np.testing.assert_allclose(np.asarray(y.astype_f64()), A64 @ x64,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_cholesky_matches_unblocked():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from socp_tpu.ops import dd as ddm
+    from socp_tpu.ops.dd_linalg import dd_cholesky, dd_cholesky_blocked
+
+    rng = np.random.default_rng(5)
+    for n in (24, 70):  # > and < one block
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        ev = np.logspace(-8, 0, n)
+        H64 = (Q * ev) @ Q.T
+        H64 = (H64 + H64.T) / 2
+        H = ddm.from_f64(jnp.asarray(H64))
+        Lb = jax.jit(lambda h: dd_cholesky_blocked(h, block=32))(H)
+        ref = np.linalg.cholesky(H64)
+        err = np.abs(np.asarray(Lb.astype_f64()) - ref).max()
+        assert err / np.abs(ref).max() < 1e-9
