@@ -118,49 +118,28 @@ def dd_matmul(a: DD, b: DD) -> DD:
 _MAX_EXACT_TERMS = (1 << 24) // (65 * 65)  # 3971
 
 
-def sliced_matmul(A: SlicedMat, b: DD) -> DD:
-    """C = A @ b with A pre-sliced (T, p, m) and b dd (m, q).
 
-    Diagonal-stacked formulation: the k-th correction diagonal
-    D_k = sum_{t+u=k} A_t B_u is computed as ONE matmul by concatenating
-    the k+1 slice pairs along the contraction axis — the cross-pair sum
-    happens inside the MXU's f32 accumulator instead of as k separate
-    (p, q) partial products in HBM.  Exactness is preserved while
-    (k+1)*m*65^2 < 2^24 (all summands are integers); longer contractions
-    split into groups of g = _MAX_EXACT_TERMS // m pairs combined with
-    two_sum compensation.  vs the flat 28-pair batched-dot version this
-    materializes 7 instead of 28 (p, q) f32 products — the Gram step went
-    from 22 ms to ~its memory-bound floor at B=256, n=102, m=312 (see
-    scripts/component_cost.py).
+def _combine_diagonals(m: int, pair_dot) -> DD:
+    """Combine all slice-pair products sum_{t+u<=6} 2^(-12-7(t+u)) P(t,u).
+
+    Pair results are integer-valued and < m*65^2 each, so up to
+    g = _MAX_EXACT_TERMS // m of them sum EXACTLY in plain f32 — those adds
+    fuse into the dot epilogues, with two_sum compensation only between
+    groups (needed only for contractions m > _MAX_EXACT_TERMS / 7).
+    No operand stacking or concatenation: each of the 28 dots reads its
+    slice views in place, which is what keeps this memory-bound step at
+    one pass over the slice arrays.
     """
-    m = b.hi.shape[0]
-    assert m <= MAX_CONTRACT and m == A.S.shape[2]
-    sa = A.scale
-    sb = _pow2_colscale(b, axis=0)         # (1, q) col scales of b
-    B = _slices(b, sb)                     # (T, m, q)
-
-    g = max(1, min(N_SLICES, _MAX_EXACT_TERMS // max(m, 1)))
+    g = max(1, _MAX_EXACT_TERMS // max(m, 1))
     acc = None
     for k in range(N_SLICES):
         dk_hi = None
         dk_lo = None
         for t0 in range(0, k + 1, g):
-            ts = range(t0, min(t0 + g, k + 1))
-            if len(ts) == 1:
-                t = ts[0]
-                part = jax.lax.dot_general(
-                    A.S[t], B[k - t],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                Lk = jnp.concatenate([A.S[t] for t in ts], axis=1)
-                Rk = jnp.concatenate([B[k - t] for t in ts], axis=0)
-                part = jax.lax.dot_general(
-                    Lk, Rk,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            part = None
+            for t in range(t0, min(t0 + g, k + 1)):
+                d = pair_dot(t, k - t)
+                part = d if part is None else part + d     # exact in f32
             if dk_hi is None:
                 dk_hi, dk_lo = part, jnp.zeros_like(part)
             else:
@@ -169,6 +148,29 @@ def sliced_matmul(A: SlicedMat, b: DD) -> DD:
         dk = DD(*ddm.quick_two_sum(dk_hi, dk_lo))
         term = ddm.mul_f32(dk, jnp.float32(2.0 ** (-12 - _W * k)))
         acc = term if acc is None else ddm.add(acc, term)
+    return acc
+
+
+def sliced_matmul(A: SlicedMat, b: DD) -> DD:
+    """C = A @ b with A pre-sliced (T, p, m) and b dd (m, q).
+
+    Only b is sliced here (one peel pass); the 28 slice-pair dots read
+    their operands as in-place views of the slice arrays and combine per
+    correction diagonal via _combine_diagonals (exact f32 epilogue adds).
+    """
+    m = b.hi.shape[0]
+    assert m <= MAX_CONTRACT and m == A.S.shape[2]
+    sa = A.scale
+    sb = _pow2_colscale(b, axis=0)         # (1, q) col scales of b
+    B = _slices(b, sb)                     # (T, m, q)
+
+    acc = _combine_diagonals(
+        m, lambda t, u: jax.lax.dot_general(
+            A.S[t], B[u],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
     # restore scales (powers of two: exact on both words)
     s = sa * sb                             # (p, q) via broadcasting
     return DD(acc.hi * s, acc.lo * s)
@@ -184,28 +186,13 @@ def sliced_gram(A: SlicedMat) -> DD:
     """
     p, m = A.S.shape[1], A.S.shape[2]
     assert m <= MAX_CONTRACT
-    g = max(1, min(N_SLICES, _MAX_EXACT_TERMS // max(m, 1)))
-    acc = None
-    for k in range(N_SLICES):
-        dk_hi = None
-        dk_lo = None
-        for t0 in range(0, k + 1, g):
-            ts = range(t0, min(t0 + g, k + 1))
-            Lk = jnp.concatenate([A.S[t] for t in ts], axis=1)
-            Rk = jnp.concatenate([A.S[k - t] for t in ts], axis=1)
-            part = jax.lax.dot_general(
-                Lk, Rk,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if dk_hi is None:
-                dk_hi, dk_lo = part, jnp.zeros_like(part)
-            else:
-                dk_hi, e2 = ddm.two_sum(dk_hi, part)
-                dk_lo = dk_lo + e2
-        dk = DD(*ddm.quick_two_sum(dk_hi, dk_lo))
-        term = ddm.mul_f32(dk, jnp.float32(2.0 ** (-12 - _W * k)))
-        acc = term if acc is None else ddm.add(acc, term)
+    acc = _combine_diagonals(
+        m, lambda t, u: jax.lax.dot_general(
+            A.S[t], A.S[u],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
     s = A.scale * A.scale.reshape(1, -1)     # (p, p)
     return DD(acc.hi * s, acc.lo * s)
 
