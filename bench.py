@@ -47,6 +47,11 @@ def main():
                     help="run the all-dd32 IPM driver (no f64 anywhere in "
                          "the hot loop); default: on for TPU")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=2048,
+                    help="max instances per device call; larger batches run "
+                         "as sequential chunks of one compiled executable "
+                         "(a 4096xn=100 solve needs ~16.4G HBM in one shot "
+                         "vs 15.75G available on v5e)")
     args = ap.parse_args()
     if args.quick:
         args.batch, args.n = 32, 24
@@ -69,22 +74,35 @@ def main():
     cfg = SolverConfig(factor_dtype=fd, native_dd=native_dd)
     c, G, h, dims = robust_ls_batch(0, batch=args.batch, n=args.n)
 
+    chunk = min(args.chunk, args.batch)
+    assert args.batch % chunk == 0, "batch must be divisible by chunk"
+    n_chunks = args.batch // chunk
+
     t0 = time.time()
-    fn, dev_args, layout = socp_tpu.prepare_batch(
-        c, G, h, dims, config=cfg, dtype=np.dtype(args.dtype)
-    )
-    out = fn(*dev_args)
-    status = np.asarray(out[4])          # sync
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    prepared = [
+        socp_tpu.prepare_batch(
+            c[i * chunk : (i + 1) * chunk], G[i * chunk : (i + 1) * chunk],
+            h[i * chunk : (i + 1) * chunk], dims, config=cfg,
+            dtype=np.dtype(args.dtype),
+        )
+        for i in range(n_chunks)
+    ]
+    for fn, dev_args, _ in prepared:
+        out = fn(*dev_args)
+        np.asarray(out[4])               # sync
+    log(f"compile+first run: {time.time() - t0:.1f}s "
+        f"({n_chunks} chunk(s) of {chunk})")
 
     best = np.inf
     for _ in range(args.reps):
         t0 = time.time()
-        out = fn(*dev_args)
-        status = np.asarray(out[4])      # sync on the tiny status vector
+        outs = []
+        for fn, dev_args, _ in prepared:
+            outs.append(fn(*dev_args))
+        status = np.concatenate([np.asarray(o[4]) for o in outs])  # sync
         best = min(best, time.time() - t0)
-    iters = np.asarray(out[5])
-    stats = np.asarray(out[6], np.float64)
+    iters = np.concatenate([np.asarray(o[5]) for o in outs])
+    stats = np.concatenate([np.asarray(o[6], np.float64) for o in outs])
     ok = int((status == 0).sum())
     max_gap = float(stats[:, 2].max())
     solves_per_s = args.batch / best

@@ -77,6 +77,13 @@ class BlockState(NamedTuple):
     k: jax.Array
     status: jax.Array
     done: jax.Array
+    # best-merit iterate (restored on non-optimal exit; ECOS-style
+    # "optimal, inaccurate" acceptance — parity with ipm/driver.py)
+    best_merit: jax.Array
+    bx: jax.Array
+    by: jax.Array
+    bs: jax.Array
+    bz_: jax.Array
 
 
 def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
@@ -123,14 +130,55 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
             return 0.0
         return 0.5 * psum(jnp.sum(x * jnp.einsum("kij,kj->ki", Pq, x)))
 
+    # dd32 mode: the O(mb*nb^2)/O(nb^3) per-block factor pipeline and every
+    # O(mb*nb) matvec run in double-word f32 on the MXU (same scheme as
+    # kkt/dd_dense.py); only the small (p,)-sized coupling pieces, cone ops,
+    # and norms stay in (emulated) f64.  On TPU this is the difference
+    # between the factor riding the MXU and it being ~100x-slow f64
+    # emulation; results still certify 1e-8 gaps via refinement.
+    use_dd = cfg.factor_dtype == "dd32"
+    if use_dd:
+        from socp_tpu.kkt.dd_dense import _dd_eq_chol, sliced_matvec
+        from socp_tpu.ops import dd as ddm
+        from socp_tpu.ops.ozaki import dd_matmul, preslice, sliced_gram
+
+        v_pre = jax.vmap(lambda g: preslice(ddm.from_f64(g)))
+        v_preT = jax.vmap(lambda g: preslice(ddm.from_f64(g.T)))
+        v_gram = jax.vmap(sliced_gram)
+        v_ddchol = jax.vmap(lambda H: _dd_eq_chol(H, cfg.delta_reg))
+        v_ddsolve = jax.vmap(lambda f, r: f.solve(r))
+        v_smv = jax.vmap(sliced_matvec)
+
+        # constant problem data presliced once per solve
+        G_s = v_pre(G)          # per block: v -> G_i v
+        GT_s = v_preT(G)        # per block: v -> G_i' v
+        A_dd = ddm.from_f64(A)
+
+        def _mv(S, v64):
+            """f64 (Kl, m) -> f64 (Kl, p) through a presliced dd matvec."""
+            return v_smv(S, ddm.from_f64(v64)).astype_f64()
+
     class Factored(NamedTuple):
-        LH: EqChol            # vmapped over blocks
-        LS: EqChol            # replicated p x p
-        Ghat: jax.Array       # (Kl, mb_pad, nb)
+        LH: EqChol            # vmapped over blocks (f64 or DDEqChol)
+        LS: EqChol            # replicated p x p (f64)
+        Ghat: object          # (Kl, mb_pad, nb) f64, or (Ghat_s, GhatT_s)
         scaling: cops.Scaling  # vmapped
 
     def factor(scaling):
         Ghat = v_rows(scaling, G)
+        if use_dd:
+            GhatT_s = v_preT(Ghat)
+            Ghat_s = v_pre(Ghat)
+            H = v_gram(GhatT_s)
+            if has_P:
+                H = ddm.add(H, ddm.from_f64(Pq))
+            LH = v_ddchol(H)
+            HinvAT = v_ddsolve(LH, ddm.from_f64(jnp.swapaxes(A, 1, 2)))
+            S_loc = jax.vmap(dd_matmul)(A_dd, HinvAT)        # (Kl, p, p)
+            S = psum(jnp.sum(S_loc.astype_f64(), axis=0))
+            LS = _eq_chol(S, cfg.delta_reg)
+            return Factored(LH=LH, LS=LS, Ghat=(Ghat_s, GhatT_s),
+                            scaling=scaling)
         H = jnp.einsum("kmn,kmq->knq", Ghat, Ghat)
         if has_P:
             H = H + Pq
@@ -143,6 +191,26 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
     def kkt_solve_once(f: Factored, bx, by, bz):
         """bx (Kl,nb), by (p,) replicated, bz (Kl,mb_pad)."""
         bhz = v_Winv(f.scaling, bz)
+        if use_dd:
+            Ghat_s, GhatT_s = f.Ghat
+            bhz_dd = ddm.from_f64(bhz)
+            btx = ddm.add(ddm.from_f64(bx),
+                          v_smv(GhatT_s, bhz_dd))            # dd (Kl, nb)
+            t = v_ddsolve(f.LH, ddm.DD(btx.hi[..., None], btx.lo[..., None]))
+            rhs_S = psum(
+                jnp.einsum("kpn,kn->p", A, t.astype_f64()[..., 0])
+            ) - by
+            dy = f.LS.solve(rhs_S)
+            corr = jnp.einsum("kpn,p->kn", A, dy)            # small f64
+            rhs2 = ddm.sub(btx, ddm.from_f64(corr))
+            dx_dd = v_ddsolve(
+                f.LH, ddm.DD(rhs2.hi[..., None], rhs2.lo[..., None])
+            )
+            dx_col = ddm.DD(dx_dd.hi[..., 0], dx_dd.lo[..., 0])
+            dx = dx_col.astype_f64()
+            Gdx = v_smv(Ghat_s, dx_col).astype_f64()
+            dz = v_Winv(f.scaling, Gdx - bhz)
+            return dx, dy, dz
         btx = bx + jnp.einsum("kmn,km->kn", f.Ghat, bhz)
         t = v_solve(f.LH, btx)
         rhs_S = psum(jnp.einsum("kpn,kn->p", A, t)) - by
@@ -151,30 +219,33 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
         dz = v_Winv(f.scaling, jnp.einsum("kmn,kn->km", f.Ghat, dx) - bhz)
         return dx, dy, dz
 
+    def _GT_dz(dz):
+        return _mv(GT_s, dz) if use_dd else jnp.einsum("kmn,km->kn", G, dz)
+
+    def _G_dx(dx):
+        return _mv(G_s, dx) if use_dd else jnp.einsum("kmn,kn->km", G, dx)
+
     def kkt_solve(f: Factored, bx, by, bz):
         """Solve + iterative refinement on the block 3x3 residual
         (each round costs one extra psum + local back-solves)."""
         dx, dy, dz = kkt_solve_once(f, bx, by, bz)
         for _ in range(cfg.refine_steps):
-            rx = bx - (
-                jnp.einsum("kpn,p->kn", A, dy)
-                + jnp.einsum("kmn,km->kn", G, dz)
-            )
+            rx = bx - (jnp.einsum("kpn,p->kn", A, dy) + _GT_dz(dz))
             if has_P:
                 rx = rx - jnp.einsum("kij,kj->ki", Pq, dx)
             ry = by - psum(jnp.einsum("kpn,kn->p", A, dx))
             WWdz = v_W(f.scaling, v_W(f.scaling, dz))
-            rz = bz - (jnp.einsum("kmn,kn->km", G, dx) - WWdz)
+            rz = bz - (_G_dx(dx) - WWdz)
             ex, ey, ez = kkt_solve_once(f, rx, ry, rz)
             dx, dy, dz = dx + ex, dy + ey, dz + ez
         return dx, dy, dz
 
     def residuals(x, y, s, z):
-        rx = jnp.einsum("kpn,p->kn", A, y) + jnp.einsum("kmn,km->kn", G, z) + c
+        rx = jnp.einsum("kpn,p->kn", A, y) + _GT_dz(z) + c
         if has_P:
             rx = rx + jnp.einsum("kij,kj->ki", Pq, x)
         ry = psum(jnp.einsum("kpn,kn->p", A, x)) - b
-        rz = jnp.einsum("kmn,kn->km", G, x) + s - h
+        rz = _G_dx(x) + s - h
         return rx, ry, rz
 
     # ---- init (W = I)
@@ -197,6 +268,8 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
         k=jnp.zeros((), jnp.int32),
         status=jnp.full((), Status.RUNNING, jnp.int32),
         done=jnp.zeros((), bool),
+        best_merit=jnp.asarray(jnp.inf, dtype),
+        bx=x0, by=y0, bs=s0, bz_=z0,
     )
 
     def body(st: BlockState) -> BlockState:
@@ -221,17 +294,28 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
             & ((gap <= cfg.abstol) | (relgap <= cfg.reltol))
         )
 
+        # Farkas certificates read off the residuals (zero extra matvecs):
+        # A'y + G'z = rx - c (- Px), Ax = ry + b, Gx + s = rz + h.
+        merit = jnp.maximum(jnp.maximum(pres, dres),
+                            jnp.minimum(relgap, gap))
+        better = (merit < st.best_merit) & ~st.done
+        best_merit = jnp.where(better, merit, st.best_merit)
+        bx = jnp.where(better, x, st.bx)
+        by = jnp.where(better, y, st.by)
+        bs = jnp.where(better, s, st.bs)
+        bz_ = jnp.where(better, z, st.bz_)
+
         hz_by = psum(jnp.sum(h * z)) + y @ b
-        aty_gtz = jnp.einsum("kpn,p->kn", A, y) + jnp.einsum(
-            "kmn,km->kn", G, z
-        )
+        aty_gtz = rx - c
+        if has_P:
+            aty_gtz = aty_gtz - jnp.einsum("kij,kj->ki", Pq, x)
         pinf = (hz_by < 0) & (
             gnorm(jnp.sum(aty_gtz * aty_gtz)) <= cfg.feastol * -hz_by
         )
         cx = psum(jnp.sum(c * x))
-        gx_s = jnp.einsum("kmn,kn->km", G, x) + s
+        gx_s = rz + h
         dinf_res = jnp.maximum(
-            jnp.linalg.norm(psum(jnp.einsum("kpn,kn->p", A, x))),
+            jnp.linalg.norm(ry + b),
             gnorm(jnp.sum(gx_s * gx_s)),
         )
         dinf = (cx < 0) & (dinf_res <= cfg.feastol * -cx)
@@ -304,6 +388,7 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
             k=jnp.where(freeze, st.k, st.k + 1),
             status=jnp.where(st.done, st.status, new_status),
             done=freeze,
+            best_merit=best_merit, bx=bx, by=by, bs=bs, bz_=bz_,
         )
 
     st = lax.while_loop(
@@ -312,15 +397,38 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
     status = jnp.where(st.done, st.status, Status.MAX_ITERATIONS).astype(
         jnp.int32
     )
-    rx, ry, rz = residuals(st.x, st.y, st.s, st.z)
-    gap = psum(jnp.sum(st.s * st.z))
-    pcost = psum(jnp.sum(c * st.x)) + quad(st.x)
+    # best-iterate restoration + relaxed (inaccurate) acceptance on a
+    # non-optimal, non-certificate exit — mirror of ipm/driver.py
+    restore = (status == Status.NUMERICAL_ERROR) | (
+        status == Status.MAX_ITERATIONS
+    )
+    x = jnp.where(restore, st.bx, st.x)
+    y = jnp.where(restore, st.by, st.y)
+    s = jnp.where(restore, st.bs, st.s)
+    z = jnp.where(restore, st.bz_, st.z)
+
+    rx, ry, rz = residuals(x, y, s, z)
+    gap = psum(jnp.sum(s * z))
+    pcost = psum(jnp.sum(c * x)) + quad(x)
+    dcost = pcost + y @ ry + psum(jnp.sum(z * rz)) - gap
+    relgap = jnp.where(
+        pcost < 0, gap / -pcost,
+        jnp.where(dcost > 0, gap / dcost, jnp.inf),
+    )
     pres = jnp.maximum(
         jnp.linalg.norm(ry) / norm_b, gnorm(jnp.sum(rz * rz)) / norm_h
     )
     dres = gnorm(jnp.sum(rx * rx)) / norm_c
+    inacc_ok = (
+        (pres <= cfg.feastol_inacc)
+        & (dres <= cfg.feastol_inacc)
+        & ((gap <= cfg.abstol_inacc) | (relgap <= cfg.reltol_inacc))
+    )
+    status = jnp.where(restore & inacc_ok, Status.OPTIMAL, status).astype(
+        jnp.int32
+    )
     stats = jnp.stack([pcost, gap, pres, dres])
-    return st.x, st.y, st.s, st.z, status, st.k, stats
+    return x, y, s, z, status, st.k, stats
 
 
 @functools.lru_cache(maxsize=64)

@@ -93,3 +93,22 @@ def test_block_qp():
         PF[i * nb : (i + 1) * nb, i * nb : (i + 1) * nb] = prob.P[i]
     ro = oracle.solve(cF, GF, hF, dimsF, A=AF, b=bF, P=PF)
     assert abs(stats[0] - ro["pcost"]) <= 1e-6 * max(1.0, abs(ro["pcost"]))
+
+
+@requires_multidevice
+def test_block_schur_dd_factor():
+    """dd32 per-block factor pipeline matches the f64 path and the oracle."""
+    prob, pstar = random_block_problem(3, K=16, nb=6, p=4)
+    # 2 refinement rounds: the dd factor's refinement contraction is
+    # q = kappa*2^-48 per round; this fixture drives kappa(H) ~ 1e11 near
+    # its 1e-10 gap, so one round floors the dual residual at ~q^2 > 1e-8.
+    cfg = SolverConfig(factor_dtype="dd32", refine_steps=2)
+    x, y, s, z, status, k, stats = solve_block(prob, mesh=block_mesh(8),
+                                               config=cfg)
+    assert status.name == "OPTIMAL"
+    assert stats[1] <= 1e-7                       # gap
+    assert abs(stats[0] - pstar) <= 1e-6 * max(1.0, abs(pstar))
+    # primal iterates agree only up to the optimal-face conditioning of
+    # this random fixture (objectives match to 1e-6 above); compare loosely
+    xf, yf, *_ = solve_block(prob, mesh=block_mesh(8))
+    np.testing.assert_allclose(x, xf, atol=5e-4)
