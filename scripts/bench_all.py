@@ -34,8 +34,9 @@ def bench_single(prob, cfg, reps=3):
     B_c = prob.c[None]
     B_G = prob.G[None]
     B_h = prob.h[None]
-    A = prob.A[None] if prob.A is not None and prob.A.size else None
-    b = prob.b if prob.b is not None and prob.b.size else None
+    has_A = prob.A is not None and prob.A.size
+    A = prob.A[None] if has_A else None
+    b = prob.b[None] if has_A else None   # batched A => batched b
     fn, dev_args, _ = socp_tpu.prepare_batch(
         B_c, B_G, B_h, prob.dims, A=A, b=b, config=cfg, dtype=np.float64
     )

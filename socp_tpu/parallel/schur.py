@@ -86,8 +86,8 @@ class BlockState(NamedTuple):
     bz_: jax.Array
 
 
-def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
-          c, G, h, A, b, Pq):
+def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
+          has_P: bool, c, G, h, A, b, Pq):
     """SPMD body (runs under shard_map): local shard of blocks + collectives."""
     dtype = c.dtype
     Kl, nb = c.shape
@@ -105,11 +105,14 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
     v_chol = jax.vmap(functools.partial(_eq_chol, delta=cfg.delta_reg))
     v_solve = jax.vmap(lambda f, r: f.solve(r))
 
+    # On a 1-device mesh every collective is the identity; eliding them also
+    # sidesteps AOT toolchains that only lower Sum all-reduces (the axon
+    # single-chip compiler rejects the Min computation of lax.pmin).
     def psum(v):
-        return lax.psum(v, axis)
+        return lax.psum(v, axis) if ndev > 1 else v
 
     def pmin(v):
-        return lax.pmin(v, axis)
+        return lax.pmin(v, axis) if ndev > 1 else v
 
     def gnorm(local_sq):
         """Global 2-norm from local sum-of-squares."""
@@ -434,7 +437,8 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, has_P: bool,
 @functools.lru_cache(maxsize=64)
 def _compiled_block(layout: ConeLayout, cfg: SolverConfig, mesh: Mesh,
                     axis: str, has_P: bool):
-    fn = functools.partial(_core, layout, cfg, axis, has_P)
+    fn = functools.partial(_core, layout, cfg, axis, int(mesh.devices.size),
+                           has_P)
     blk = P(axis)
     rep = P()
     mapped = jax.shard_map(
@@ -442,6 +446,9 @@ def _compiled_block(layout: ConeLayout, cfg: SolverConfig, mesh: Mesh,
         mesh=mesh,
         in_specs=(blk, blk, blk, blk, rep, blk if has_P else rep),
         out_specs=(blk, rep, blk, blk, rep, rep, rep),
+        # collectives are elided on a 1-device mesh (see _core), which the
+        # varying-axes type check would reject; semantics are unaffected
+        check_vma=mesh.devices.size > 1,
     )
     return jax.jit(mapped)
 
