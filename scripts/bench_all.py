@@ -149,6 +149,8 @@ def main():
 
         S = 4096 if full else 256
         c, G, h, dims, A, b, info = scenario_portfolio(0, n=20, n_scenarios=S)
+        admm_consensus(c, G, h, dims, info["n"], A=A, b=b, rho=1.0,
+                       outer_iters=1, config=cfg)      # warm the jit cache
         t0 = time.time()
         res = admm_consensus(c, G, h, dims, info["n"], A=A, b=b,
                              rho=1.0, outer_iters=10, config=cfg)

@@ -151,3 +151,4 @@ def dd_cholesky_blocked(H: DD, block: int = 32) -> DD:
         jnp.concatenate([p.hi for p in panels], axis=1),
         jnp.concatenate([p.lo for p in panels], axis=1),
     )
+

@@ -69,16 +69,51 @@ def admm_consensus(
     u = np.zeros((S, nc))
     x = np.zeros((S, n))
 
-    if mesh is not None:
-        from socp_tpu.parallel.batch import solve_batch_sharded
+    # The scenario data (G, h, A, b, P) is constant across outer iterations;
+    # only the effective objective changes.  Upload everything once and swap
+    # the (small) c each round — the inner solve stays device-resident, so
+    # outer-loop cost is solver time, not host-link bandwidth.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
 
-        def inner(c_eff):
-            return solve_batch_sharded(c_eff, G, h, dims, mesh=mesh, A=A,
-                                       b=b, P_mat=P, config=config)
+    state = {}
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        (axis,) = mesh.axis_names
+
+        def put_c(c_eff, dtype):
+            return jax.device_put(
+                jnp.asarray(c_eff, dtype),
+                NamedSharding(mesh, PS(axis, None)),
+            )
     else:
-        def inner(c_eff):
-            return api.solve_batch_raw(c_eff, G, h, dims, A=A, b=b, P=P,
-                                       config=config)
+        def put_c(c_eff, dtype):
+            return jnp.asarray(c_eff, dtype)
+
+    def inner(c_eff):
+        if not state:
+            fn, args, layout = api.prepare_batch(
+                c_eff, G, h, dims, A=A, b=b, P=P, config=config
+            )
+            if mesh is not None:
+                args = (put_c(c_eff, args[0].dtype),) + tuple(
+                    jax.device_put(a, NamedSharding(
+                        mesh, PS(axis, *([None] * (a.ndim - 1)))
+                    )) if a.ndim and a.shape[0] == c_eff.shape[0] else
+                    jax.device_put(a, NamedSharding(mesh, PS()))
+                    for a in args[1:]
+                )
+            state["fn"], state["args"] = fn, args
+        else:
+            args = state["args"]
+            state["args"] = (put_c(c_eff, args[0].dtype),) + args[1:]
+        out = state["fn"](*state["args"])
+        x = np_.asarray(out[0], np_.float64)
+        status = np_.asarray(out[4])
+        return (x, None, None, None, status)
 
     pres = dres = np.inf
     it = 0
