@@ -26,7 +26,7 @@ on_tpu = jax.default_backend() not in ("cpu",)
 cfg = SolverConfig(factor_dtype="dd32", native_dd=on_tpu)
 
 t0 = time.time()
-x, y, s, z, status, iters, stats = socp_tpu.solve_batch_raw(
+x, y, s, z, status, iters, stats, _ = socp_tpu.solve_batch_raw(
     c, G, h, dims, config=cfg
 )
 print(f"first call (incl. compile): {time.time() - t0:.1f}s")

@@ -71,9 +71,11 @@ def solve(
 
     fn = _compiled(layout, config, has_P, batched=False, batch_A=False,
                    batch_P=False)
-    x, y, s, z, status, k, stats = fn(c, Gp, hp, A, b, P)
+    x, y, s, z, status, k, stats, hist = fn(c, Gp, hp, A, b, P)
     stats = np.asarray(stats, np.float64)
     return Solution(
+        history=(np.asarray(hist, np.float64)[: int(k)]
+                 if config.collect_history else None),
         x=np.asarray(x, np.float64),
         y=np.asarray(y, np.float64),
         s=layout.unpad_vec(np.asarray(s, np.float64)),
@@ -104,10 +106,13 @@ def solve_batch(
     """Solve B same-shaped SOCPs in lockstep (vmapped jitted IPM)."""
     out = solve_batch_raw(c, G, h, dims, A=A, b=b, P=P, config=config,
                           dtype=dtype)
-    x, y, s, z, status, k, stats = out
+    x, y, s, z, status, k, stats = out[:7]
+    hist = out[7] if len(out) > 7 else None
     B = x.shape[0]
     return [
         Solution(
+            history=(hist[i, : int(k[i])] if hist is not None
+                     and config.collect_history else None),
             x=x[i], y=y[i], s=s[i], z=z[i],
             status=Status(int(status[i])),
             iterations=int(k[i]),
@@ -159,8 +164,9 @@ def solve_batch_raw(
     """Batched solve returning raw stacked arrays (unpadding host-side)."""
     fn, args, layout = prepare_batch(c, G, h, dims, A=A, b=b, P=P,
                                      config=config, dtype=dtype)
-    x, y, s, z, status, k, stats = fn(*args)
+    x, y, s, z, status, k, stats, hist = fn(*args)
     s = layout.unpad_vec(np.asarray(s, np.float64))
     z = layout.unpad_vec(np.asarray(z, np.float64))
     return (np.asarray(x, np.float64), np.asarray(y, np.float64), s, z,
-            np.asarray(status), np.asarray(k), np.asarray(stats, np.float64))
+            np.asarray(status), np.asarray(k), np.asarray(stats, np.float64),
+            np.asarray(hist, np.float64))

@@ -75,6 +75,10 @@ class SolverConfig:
     bucket_multiple: int = 8
     # Use Pallas TPU kernels for the hot ops where available.
     use_pallas: bool = False
+    # Record the per-iteration table [pcost, dcost, gap, pres, dres, step]
+    # into Solution.history (a (max_iter, 6) array; rows beyond the final
+    # iteration stay zero).  Off by default: it adds a small carry.
+    collect_history: bool = False
     verbose: bool = False
 
 

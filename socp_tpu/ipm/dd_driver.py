@@ -50,6 +50,7 @@ class DDIPMState(NamedTuple):
     by: DD
     bs: DD
     bz_: DD
+    hist: jax.Array      # (max_iter, 6) f32 when cfg.collect_history
 
 
 def _norm(v: DD) -> jax.Array:
@@ -174,6 +175,7 @@ def solve_core_dd(
     ad = -dd_ops.lambda_min(layout, zhat)
     z0 = ddm.where(ad < 0, zhat, _axpy(zhat, 1.0 + ad, e))
 
+    n_hist = cfg.max_iter if cfg.collect_history else 0
     st0 = DDIPMState(
         x=x0, y=y0, s=s0, z=z0,
         k=jnp.zeros((), jnp.int32),
@@ -181,6 +183,7 @@ def solve_core_dd(
         done=jnp.zeros((), bool),
         best_merit=jnp.float32(jnp.inf),
         bx=x0, by=y0, bs=s0, bz_=z0,
+        hist=jnp.zeros((n_hist, 6), jnp.float32),
     )
 
     def body(st: DDIPMState) -> DDIPMState:
@@ -299,6 +302,12 @@ def solve_core_dd(
         def upd(old: DD, delta: DD) -> DD:
             return ddm.where(freeze, old, _axpy(old, alpha, delta))
 
+        hist = st.hist
+        if cfg.collect_history:
+            row = jnp.stack([pcost, dcost, gap, pres, dres,
+                             jnp.where(freeze, 0.0, alpha)])
+            hist = jnp.where(st.done, hist, hist.at[st.k].set(row))
+
         return DDIPMState(
             x=upd(x, dx),
             y=upd(y, dy),
@@ -309,6 +318,7 @@ def solve_core_dd(
             done=freeze,
             best_merit=best_merit,
             bx=bx, by=by, bs=bs, bz_=bz_,
+            hist=hist,
         )
 
     st = lax.while_loop(
@@ -349,4 +359,4 @@ def solve_core_dd(
     def out(v: DD):
         return v.hi + v.lo  # f32 (lo adds the sub-ulp correction)
 
-    return out(x), out(y), out(s), out(z), status, st.k, stats
+    return out(x), out(y), out(s), out(z), status, st.k, stats, st.hist

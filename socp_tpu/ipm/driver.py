@@ -45,6 +45,8 @@ class IPMState(NamedTuple):
     by: jax.Array
     bs: jax.Array
     bz_: jax.Array
+    # per-iteration table (cfg.collect_history; (max_iter, 6) else (0, 6))
+    hist: jax.Array
 
 
 def _norm(v):
@@ -134,6 +136,7 @@ def solve_core(
     ad = -cops.lambda_min(layout, zhat)
     z0 = jnp.where(ad < 0, zhat, zhat + (1.0 + ad) * e)
 
+    n_hist = cfg.max_iter if cfg.collect_history else 0
     st0 = IPMState(
         x=x0, y=y0, s=s0, z=z0,
         k=jnp.zeros((), jnp.int32),
@@ -141,6 +144,7 @@ def solve_core(
         done=jnp.zeros((), bool),
         best_merit=jnp.asarray(jnp.inf, dtype),
         bx=x0, by=y0, bs=s0, bz_=z0,
+        hist=jnp.zeros((n_hist, 6), dtype),
     )
 
     def body(st: IPMState) -> IPMState:
@@ -260,6 +264,14 @@ def solve_core(
         def upd(old, delta):
             return jnp.where(freeze, old, old + alpha * delta)
 
+        hist = st.hist
+        if cfg.collect_history:
+            row = jnp.stack([pcost, dcost, gap, pres, dres,
+                             jnp.where(freeze, 0.0, alpha)])
+            hist = jnp.where(
+                st.done, hist, hist.at[st.k].set(row.astype(hist.dtype))
+            )
+
         return IPMState(
             x=upd(x, dx),
             y=upd(y, dy),
@@ -270,6 +282,7 @@ def solve_core(
             done=freeze,
             best_merit=best_merit,
             bx=bx, by=by, bs=bs, bz_=bz_,
+            hist=hist,
         )
 
     def cond(st: IPMState):
@@ -310,4 +323,4 @@ def solve_core(
         [pcost, dcost, gap, relgap, pres, dres,
          inaccurate.astype(pcost.dtype)]
     )
-    return x, y, s, z, status, st.k, stats
+    return x, y, s, z, status, st.k, stats, st.hist

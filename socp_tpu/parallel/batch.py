@@ -72,8 +72,9 @@ def solve_batch_sharded(
 
     fn = api._compiled(layout, config, has_P, batched=True, batch_A=batch_A,
                        batch_P=batch_P)
-    x, y, s, z, status, k, stats = fn(cD, GD, hD, AD, bD, PD)
+    x, y, s, z, status, k, stats, hist = fn(cD, GD, hD, AD, bD, PD)
     s = layout.unpad_vec(np.asarray(s, np.float64))
     z = layout.unpad_vec(np.asarray(z, np.float64))
     return (np.asarray(x, np.float64), np.asarray(y, np.float64), s, z,
-            np.asarray(status), np.asarray(k), np.asarray(stats, np.float64))
+            np.asarray(status), np.asarray(k), np.asarray(stats, np.float64),
+            np.asarray(hist, np.float64))

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Optional
 
 import numpy as np
 
@@ -38,6 +39,9 @@ class Solution:
     # True when the strict tolerances were NOT met but the restored best
     # iterate satisfies the relaxed (inaccurate) tolerances (ECOS-style).
     inaccurate: bool = False
+    # Per-iteration table [pcost, dcost, gap, pres, dres, step], one row
+    # per completed iteration (None unless SolverConfig.collect_history).
+    history: Optional[np.ndarray] = None
 
     @property
     def optimal(self) -> bool:

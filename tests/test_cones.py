@@ -128,3 +128,20 @@ def test_identity_scaling_is_identity():
                                atol=1e-14)
     np.testing.assert_allclose(np.asarray(cops.apply_Winv(layout, sc, u)), u,
                                atol=1e-14)
+
+
+def test_dim1_soc_blocks():
+    """A dim-1 SOC is the halfline u0 >= 0; both solvers must handle it
+    (degenerate Jordan frame: u1 empty, det(u) = u0^2)."""
+    import numpy as np
+
+    from socp_tpu import solve
+    from socp_tpu.models.random_socp import random_socp
+    from socp_tpu.utils import oracle
+
+    prob, known = random_socp(0, n=14, l=8, qs=(1, 3, 5), p=2)
+    ro = oracle.solve(prob.c, prob.G, prob.h, prob.dims, A=prob.A, b=prob.b)
+    assert ro["status_name"] == "optimal"
+    r = solve(prob)
+    assert r.status.name == "OPTIMAL"
+    assert abs(r.pcost - known.pcost) <= 1e-6 * max(1.0, abs(known.pcost))

@@ -119,3 +119,18 @@ def test_returned_cone_order_unpadded():
     np.testing.assert_allclose(
         prob.G @ rj.x + rj.s, prob.h, atol=1e-6 * max(1, np.abs(prob.h).max())
     )
+
+
+def test_history_collection():
+    from socp_tpu.models.robust_ls import robust_ls
+
+    prob, _ = robust_ls(0, n=12)
+    r = socp_tpu.solve(prob, config=SolverConfig(collect_history=True))
+    assert r.status.name == "OPTIMAL"
+    assert r.history is not None and r.history.shape == (r.iterations, 6)
+    gaps = r.history[:, 2]
+    assert gaps[-1] <= 1e-6          # gap column marches down
+    assert gaps[0] > gaps[-1]
+    # without the flag, no history
+    r2 = socp_tpu.solve(prob)
+    assert r2.history is None

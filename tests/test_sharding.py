@@ -20,7 +20,7 @@ def test_solve_batch_sharded_matches_unsharded():
 
     c, G, h, dims = robust_ls_batch(0, batch=8, n=12, k=16)
     mesh = batch_mesh(8)
-    xs, ys, ss, zs, status_s, ks, stats_s = solve_batch_sharded(
+    xs, ys, ss, zs, status_s, ks, stats_s, _ = solve_batch_sharded(
         c, G, h, dims, mesh=mesh
     )
     sols = socp_tpu.solve_batch(c, G, h, dims)
@@ -40,3 +40,13 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out[0])))
     g.dryrun_multichip(8)
+
+
+def test_pod_mesh_shapes():
+    from socp_tpu.parallel.runtime import init_distributed, pod_mesh
+
+    init_distributed()          # no-op single process
+    mesh = pod_mesh(scenario_size=2)
+    assert mesh.axis_names == ("scenario", "blocks")
+    assert mesh.devices.shape[0] == 2
+    assert mesh.devices.size == len(jax.devices())
