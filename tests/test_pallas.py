@@ -48,3 +48,22 @@ def test_pallas_chol_dd():
     L64 = np.linalg.cholesky(H64)
     err = np.max(np.abs(np.asarray(L.astype_f64()) - L64)) / np.abs(L64).max()
     assert err < 1e-9
+
+
+def test_pallas_tri_pair_solve():
+    rng = np.random.default_rng(3)
+    n = 24
+    H = _spd(rng, n, kappa=1e8)
+    Hdd = ddm.from_f64(jnp.asarray(H))
+    from socp_tpu.ops.dd_linalg import dd_cholesky_blocked, dd_chol_solve
+    from socp_tpu.ops.pallas_chol import tri_pair_solve
+
+    L = dd_cholesky_blocked(Hdd)
+    LT = ddm.DD(L.hi.T, L.lo.T)
+    b = ddm.from_f64(jnp.asarray(rng.standard_normal((n, 1))))
+    x = jax.jit(tri_pair_solve)(L, LT, b)
+    ref = dd_chol_solve(L, b)
+    np.testing.assert_allclose(
+        np.asarray(x.astype_f64()), np.asarray(ref.astype_f64()),
+        rtol=1e-10, atol=1e-12,
+    )
