@@ -32,7 +32,9 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    # default batch = the BASELINE config-3 contract (4096 robust-LS
+    # instances); runs as sequential 2048-chunks of one executable
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--quick", action="store_true",
                     help="smaller problem for smoke runs")
@@ -119,7 +121,35 @@ def main():
     if ok < args.batch:
         log(f"WARNING: {args.batch - ok} instances not optimal")
 
-    # single-core NumPy oracle baseline (stand-in for single-core Socp.jl)
+    # ---- MFU / roofline accounting (north star: report achieved per-chip
+    # utilization, not just throughput).  FLOP model for the dd-native
+    # iteration, robust-LS shape (p = 0):
+    #   * MXU (bf16): the Ozaki scheme runs every O(n^2 m) contraction as
+    #     28 bf16 slice-pair passes — Gram 28*2*n^2*m per factor, plus
+    #     ~12 presliced matvecs (residuals, rhs, refinement, dz) at
+    #     28*2*n*m each;
+    #   * VPU (f32): dd Cholesky ~ 25 f32 ops per dd flop * n^3 masked
+    #     (the right-looking masked form does n^3, not n^3/3), plus the
+    #     2 triangular passes * ~6 solves * 25*2*n^2.
+    _, _, layout0 = prepared[0]
+    m_pad = layout0.m_pad
+    n_ = c.shape[1]                       # actual variable count
+    mxu_per_iter = 28 * 2 * n_ * n_ * m_pad + 12 * 28 * 2 * n_ * m_pad
+    vpu_per_iter = 25 * (n_ ** 3) + 6 * 25 * 2 * n_ ** 2
+    total_iters = float(iters.sum())
+    mxu_tflops = total_iters * mxu_per_iter / best / 1e12
+    vpu_tflops = total_iters * vpu_per_iter / best / 1e12
+    # v5e (TPU v5 lite): ~197 TFLOP/s bf16 MXU, ~0.5 TFLOP/s f32 VPU-class
+    peak_bf16 = 197.0 if on_tpu else None
+    mfu = (mxu_tflops / peak_bf16) if peak_bf16 else None
+    log(f"roofline: MXU {mxu_tflops:.2f} TFLOP/s (bf16)"
+        + (f" = {100*mfu:.2f}% of v5e peak" if mfu is not None else "")
+        + f" | VPU-class dd arithmetic {vpu_tflops:.3f} TFLOP/s (f32)")
+
+    # single-core NumPy oracle baseline (stand-in for single-core Socp.jl).
+    # CAVEAT: the oracle is a plain-NumPy reference implementation; a
+    # compiled single-core Socp.jl would plausibly be 5-20x faster than it,
+    # so read vs_baseline/(5..20) as the honest vs-reference multiple.
     times = []
     for i in range(3):
         prob, _ = robust_ls(i, n=args.n)
@@ -134,6 +164,8 @@ def main():
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / base, 2),
+        "mfu_bf16_pct": round(100 * mfu, 3) if mfu is not None else None,
+        "lockstep_iter_ms": round(lockstep_ms, 2),
     }))
 
 

@@ -28,4 +28,4 @@ x, y, s, z, status, iters, stats = solve_block(
     prob, mesh=block_mesh(), config=SolverConfig(verbose=True)
 )
 print(f"\nstatus={status.name} iters={iters} pcost={stats[0]:.6f} "
-      f"gap={stats[1]:.2e}")
+      f"gap={stats[2]:.2e}")

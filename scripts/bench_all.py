@@ -144,7 +144,7 @@ def main():
         nvars = K * prob.c.shape[1]
         log(f"config4 block K={K} ({nvars} vars, {2*K} cones): "
             f"{steady:.2f}s steady ({first:.0f}s first), status {status}, "
-            f"iters {k}, gap {stats[1]:.1e}")
+            f"iters {k}, gap {stats[2]:.1e}")
         emit("c4_block_schur", steady, "s", K=K, nvars=nvars,
              status=int(status), iters=int(k))
 

@@ -50,6 +50,31 @@ def _empty_A(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
     return np.zeros((0, n)), np.zeros((0,))
 
 
+# Largest condensed-system n whose dd factor (L + LT, 4 f32 words each)
+# comfortably fits VMEM for the Pallas VMEM-resident solves (16n^2 bytes;
+# n=768 -> ~9.4 MB of ~16 MB/core).
+_PALLAS_MAX_N = 768
+
+
+def _resolve_pallas(config: SolverConfig, n: int, batch: int = 1) -> SolverConfig:
+    """Resolve use_pallas=None (auto) to a concrete bool (see config.py).
+
+    Batched solves keep the XLA substitution beyond a few instances: a
+    vmapped pallas_call serializes instances over the grid, while the XLA
+    columnwise substitution is batch-parallel."""
+    if config.use_pallas is not None:
+        return config
+    auto = (
+        batch <= 4
+        and config.native_dd
+        and n <= _PALLAS_MAX_N
+        and jax.default_backend() == "tpu"
+    )
+    import dataclasses
+
+    return dataclasses.replace(config, use_pallas=auto)
+
+
 def solve(
     prob: SocpProblem,
     config: SolverConfig = DEFAULT_CONFIG,
@@ -59,6 +84,7 @@ def solve(
     """Solve one SOCP (optionally with quadratic objective P)."""
     if verbose is not None and verbose != config.verbose:
         config = SolverConfig(**{**config.__dict__, "verbose": verbose})
+    config = _resolve_pallas(config, prob.n)
     dtype = dtype or default_dtype()
     layout = make_layout(prob.dims, config.bucket_multiple)
     has_P = prob.P is not None
@@ -137,9 +163,10 @@ def prepare_batch(
     jitted lockstep IPM with zero host->device traffic — the benchmarking /
     power-user path (repeated solves of the same instances, e.g. warm-up vs
     steady-state timing, measure solver throughput rather than PCIe)."""
+    B, n = np.shape(c)
+    config = _resolve_pallas(config, n, batch=B)
     dtype = dtype or default_dtype()
     layout = make_layout(dims, config.bucket_multiple)
-    B, n = np.shape(c)
     has_P = P is not None
     batch_A = A is not None and np.ndim(A) == 3
     batch_P = has_P and np.ndim(P) == 3

@@ -12,7 +12,12 @@ import enum
 
 
 class KKTStrategy(enum.Enum):
-    """How the per-iteration KKT system is factored (SURVEY.md section 7.1)."""
+    """How the per-iteration KKT system is factored (SURVEY.md section 7.1).
+
+    Informational: the strategy is selected structurally, not by flag —
+    `socp_tpu.solve`/`solve_batch` use DENSE (condensed normal equations);
+    `parallel.schur.solve_block` takes a BlockSocpProblem and is the
+    BLOCK_SCHUR path."""
 
     DENSE = "dense"            # condensed normal equations, one dense Cholesky
     BLOCK_SCHUR = "block_schur"  # per-block Cholesky + psum-reduced Schur complement
@@ -69,12 +74,22 @@ class SolverConfig:
     # on TPU (f64 emulation there is ~50-100x slower than f32); reaches the
     # same 1e-8 tolerances.  factor_dtype is ignored when set.
     native_dd: bool = False
-    kkt: KKTStrategy = KKTStrategy.DENSE
     # SOC bucket granularity: block dims are padded up to a multiple of this
     # (and to >= 2) so heterogeneous cones batch into dense bucket arrays.
     bucket_multiple: int = 8
-    # Use Pallas TPU kernels for the hot ops where available.
-    use_pallas: bool = False
+    # VMEM-resident Pallas triangular-solve kernels for the dd KKT
+    # back-solves (one kernel per forward+backward pair instead of ~2n XLA
+    # dispatches; 4-16x faster at n=128-512, measured).  None = auto:
+    # enabled by api.solve for single-instance native_dd solves on TPU with
+    # n small enough that the factor fits VMEM; disabled for the batched
+    # lockstep path, where the vmap grid would serialize instances and the
+    # XLA columnwise substitution is already batch-parallel.
+    use_pallas: bool | None = None
+    # Reduce the block-Schur complement S = sum_i A_i H_i^-1 A_i' with an
+    # explicit ppermute ring instead of one monolithic psum (overlappable
+    # ICI hops; SURVEY.md 7.3.5).  Equivalent numerics up to reassociation;
+    # opt-in until pod-scale measurements exist.
+    ring_schur: bool = False
     # Record the per-iteration table [pcost, dcost, gap, pres, dres, step]
     # into Solution.history (a (max_iter, 6) array; rows beyond the final
     # iteration stay zero).  Off by default: it adds a small carry.

@@ -166,7 +166,8 @@ def solve_core_dd(
     zero_n = ddm.from_f32(jnp.zeros((n,), jnp.float32))
     zero_p = ddm.from_f32(jnp.zeros((p,), jnp.float32))
     zero_m = ddm.from_f32(jnp.zeros((m,), jnp.float32))
-    kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg)
+    kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg,
+                              pallas=bool(cfg.use_pallas))
     x0, _, z0, _ = refined(kkt0, zero_n, b, h)
     shat = z0.neg()
     ap = -dd_ops.lambda_min(layout, shat)
@@ -225,7 +226,8 @@ def solve_core_dd(
 
         # ---- hot block
         scaling = dd_ops.nt_scale(layout, s, z)
-        kkt = dd_dense.factor_dd(layout, scaling, Paug, A, G, cfg.delta_reg)
+        kkt = dd_dense.factor_dd(layout, scaling, Paug, A, G, cfg.delta_reg,
+                                 pallas=bool(cfg.use_pallas))
         lam = scaling.lam
 
         def newton(d_s, steps=None):
@@ -331,6 +333,28 @@ def solve_core_dd(
     restore = (status == Status.NUMERICAL_ERROR) | (
         status == Status.MAX_ITERATIONS
     )
+
+    # Relaxed exit certificates on the FINAL iterate (mirror of
+    # ipm/driver.py): the stall guard often fires a couple of iterations
+    # before the strict in-loop certificate threshold is reached, and the
+    # final iterate carries the strongest approximate Farkas ray.
+    rxf, ryf, rzf, Pxf = residuals(st.x, st.y, st.s, st.z)
+    hz_by_f = dd_ops.dd_dot(h, st.z, axis=0).hi + (
+        dd_ops.dd_dot(st.y, b, axis=0).hi if p else 0.0
+    )
+    pvec_f = (ddm.sub(ddm.sub(rxf, c), Pxf) if has_P
+              else ddm.sub(rxf, c))
+    pinf_exit = restore & (hz_by_f < 0) & (
+        _norm(pvec_f) <= cfg.feastol_inacc * -hz_by_f
+    )
+    cx_f = dd_ops.dd_dot(c, st.x, axis=0).hi
+    dres_f = jnp.maximum(
+        _norm(ddm.add(ryf, b)) if p else 0.0, _norm(ddm.add(rzf, h))
+    )
+    if has_P:
+        dres_f = jnp.maximum(dres_f, _norm(Pxf))
+    dinf_exit = restore & (cx_f < 0) & (dres_f <= cfg.feastol_inacc * -cx_f)
+
     x = ddm.where(restore, st.bx, st.x)
     y = ddm.where(restore, st.by, st.y)
     s = ddm.where(restore, st.bs, st.s)
@@ -345,18 +369,33 @@ def solve_core_dd(
         & (dres <= cfg.feastol_inacc)
         & ((gap <= cfg.abstol_inacc) | (relgap <= cfg.reltol_inacc))
     )
-    status = jnp.where(restore & inacc_ok, Status.OPTIMAL, status).astype(
-        jnp.int32
-    )
+    cert = ~inacc_ok & (pinf_exit | dinf_exit)
+    x = ddm.where(cert, st.x, x)
+    y = ddm.where(cert, st.y, y)
+    s = ddm.where(cert, st.s, s)
+    z = ddm.where(cert, st.z, z)
+    status = jnp.where(
+        restore & inacc_ok,
+        Status.OPTIMAL,
+        jnp.where(
+            pinf_exit & ~inacc_ok,
+            Status.PRIMAL_INFEASIBLE,
+            jnp.where(dinf_exit & ~inacc_ok & ~pinf_exit,
+                      Status.DUAL_INFEASIBLE, status),
+        ),
+    ).astype(jnp.int32)
     inaccurate = restore & inacc_ok
 
     stats = jnp.stack(
         [pcost, dcost, gap, relgap, pres, dres,
          inaccurate.astype(jnp.float32)]
     )
-    # return dd values recombined into f32 pairs summed in f64 off-device;
-    # emit hi+lo separately? hi alone is f32-accurate for the user.
+    # Exit conversion: hi + lo summed in f64 so the sub-ulp lo word is not
+    # lost (an f32 sum rounds straight back to hi).  One-time O(n) emulated
+    # f64 work; with x64 disabled astype_f64 degrades to the f32 hi word.
     def out(v: DD):
-        return v.hi + v.lo  # f32 (lo adds the sub-ulp correction)
+        return v.astype_f64()
 
+    if jax.config.jax_enable_x64:
+        stats = stats.astype(jnp.float64)
     return out(x), out(y), out(s), out(z), status, st.k, stats, st.hist

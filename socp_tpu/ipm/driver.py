@@ -300,6 +300,25 @@ def solve_core(
     restore = (status == Status.NUMERICAL_ERROR) | (
         status == Status.MAX_ITERATIONS
     )
+
+    # Relaxed exit certificates on the FINAL iterate: for an infeasible
+    # problem the Farkas ray grows monotonically, and the direction-quality
+    # stall guard often fires a couple of iterations before the strict
+    # in-loop (feastol-grade) certificate threshold is reached.  The final
+    # iterate carries the strongest approximate certificate, so test it at
+    # the relaxed feastol_inacc before falling back to the best iterate.
+    rxf, ryf, rzf, Pxf = residuals(st.x, st.y, st.s, st.z)
+    hz_by_f = h @ st.z + (st.y @ b if p else 0.0)
+    pvec_f = rxf - c - Pxf if has_P else rxf - c
+    pinf_exit = restore & (hz_by_f < 0) & (
+        _norm(pvec_f) <= cfg.feastol_inacc * -hz_by_f
+    )
+    cx_f = c @ st.x
+    dres_f = jnp.maximum(_norm(ryf + b), _norm(rzf + h))
+    if has_P:
+        dres_f = jnp.maximum(dres_f, _norm(Pxf))
+    dinf_exit = restore & (cx_f < 0) & (dres_f <= cfg.feastol_inacc * -cx_f)
+
     x = jnp.where(restore, st.bx, st.x)
     y = jnp.where(restore, st.by, st.y)
     s = jnp.where(restore, st.bs, st.s)
@@ -314,9 +333,22 @@ def solve_core(
         & (dres <= cfg.feastol_inacc)
         & ((gap <= cfg.abstol_inacc) | (relgap <= cfg.reltol_inacc))
     )
-    status = jnp.where(restore & inacc_ok, Status.OPTIMAL, status).astype(
-        jnp.int32
-    )
+    # priority: relaxed-optimal > primal cert > dual cert > raw exit status
+    cert = ~inacc_ok & (pinf_exit | dinf_exit)
+    x = jnp.where(cert, st.x, x)
+    y = jnp.where(cert, st.y, y)
+    s = jnp.where(cert, st.s, s)
+    z = jnp.where(cert, st.z, z)
+    status = jnp.where(
+        restore & inacc_ok,
+        Status.OPTIMAL,
+        jnp.where(
+            pinf_exit & ~inacc_ok,
+            Status.PRIMAL_INFEASIBLE,
+            jnp.where(dinf_exit & ~inacc_ok & ~pinf_exit,
+                      Status.DUAL_INFEASIBLE, status),
+        ),
+    ).astype(jnp.int32)
     inaccurate = restore & inacc_ok
 
     stats = jnp.stack(

@@ -109,3 +109,34 @@ def dual_infeasible_lp(seed: int = 0, n: int = 3) -> SocpProblem:
     c = np.zeros(n)
     c[0] = -1.0
     return SocpProblem(c=c, G=-np.eye(n), h=np.zeros(n), dims=ConeDims(l=n))
+
+
+def primal_infeasible_soc(seed: int = 0, q: int = 4) -> SocpProblem:
+    """Infeasibility through CONE geometry, not just crossed halfspaces:
+    variables (t, u), constraints ||u|| <= t (SOC, forces t >= 0) and
+    t <= -1 (orthant).  The Farkas dual ray needs a point on the SOC
+    boundary: z = (1; e_orth) with z_soc = (1, 0,...) in Q, G'z = 0,
+    h'z = -1 < 0."""
+    rng = np.random.default_rng(seed)
+    n = q  # (t, u) with u in R^{q-1}
+    # orthant row: s0 = -1 - t >= 0  <=>  t <= -1
+    # SOC rows:    s_soc = (t, u) in Q  <=>  ||u|| <= t
+    G = np.zeros((1 + q, n))
+    G[0, 0] = 1.0
+    G[1:, :] = -np.eye(q)
+    h = np.concatenate([[-1.0], np.zeros(q)])
+    return SocpProblem(
+        c=rng.normal(size=n), G=G, h=h, dims=ConeDims(l=1, qs=(q,))
+    )
+
+
+def dual_infeasible_soc(seed: int = 0, q: int = 4) -> SocpProblem:
+    """min -t s.t. ||u|| <= t: the recession ray (t, u) = (1, 0) rides the
+    SOC's axis and drops the objective without bound (dual infeasible with
+    a cone-geometric certificate: -G @ ray = (1, 0,...) in Q)."""
+    n = q
+    c = np.zeros(n)
+    c[0] = -1.0
+    G = -np.eye(q)
+    h = np.zeros(q)
+    return SocpProblem(c=c, G=G, h=h, dims=ConeDims(l=0, qs=(q,)))

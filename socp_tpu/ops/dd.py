@@ -24,13 +24,39 @@ import jax.numpy as jnp
 _SPLITTER = 4097.0  # 2^12 + 1 for f32's 24-bit mantissa
 
 
+_BARRIER_FREE = False
+
+
 def _ob(x):
     """Optimization barrier: XLA's algebraic simplifier (notably on the CPU
     backend) rewrites float patterns like (a+b)-a -> b, which silently
     destroys error-free transformations.  Marking the pivot intermediates
     opaque blocks those rewrites at zero runtime cost; verified necessary
     on the CPU backend (tests/test_dd.py)."""
+    if _BARRIER_FREE:
+        return x
     return jax.lax.optimization_barrier(x)
+
+
+class barrier_free:
+    """Trace dd arithmetic WITHOUT optimization barriers.
+
+    For use while tracing Pallas TPU kernel bodies only: Mosaic cannot
+    lower optimization_barrier, but (unlike the XLA CPU loop emitter) its
+    MLIR pipeline does not re-associate float arithmetic, so the raw
+    Knuth/Dekker transforms compile exactly — verified on hardware
+    (scripts/pallas_probe.py: two_sum/two_prod bit-exact vs f64).
+    """
+
+    def __enter__(self):
+        global _BARRIER_FREE
+        self._saved = _BARRIER_FREE
+        _BARRIER_FREE = True
+
+    def __exit__(self, *exc):
+        global _BARRIER_FREE
+        _BARRIER_FREE = self._saved
+        return False
 
 
 @functools.cache

@@ -96,20 +96,12 @@ def preslice(a: DD) -> SlicedMat:
 def dd_matmul(a: DD, b: DD) -> DD:
     """C = a @ b for dd32 matrices a (p, m), b (m, q) -> dd32 (p, q).
 
-    Contraction length m must be <= MAX_CONTRACT (chunked internally
-    otherwise).  Accuracy ~2^-48 relative to the row/column scales.
+    Contractions longer than MAX_CONTRACT are chunked inside sliced_matmul
+    (exact per-chunk accumulation, dd-summed across chunks).  Accuracy
+    ~2^-48 relative to the row/column scales.
     """
-    p, m = a.hi.shape
-    m2, q = b.hi.shape
-    assert m == m2
-    if m > MAX_CONTRACT:
-        # exact-accumulation bound: chunk the contraction and dd-sum
-        out = None
-        for s in range(0, m, MAX_CONTRACT):
-            piece = dd_matmul(a[:, s : s + MAX_CONTRACT],
-                              b[s : s + MAX_CONTRACT, :])
-            out = piece if out is None else ddm.add(out, piece)
-        return out
+    m2 = b.hi.shape[0]
+    assert a.hi.shape[1] == m2
     return sliced_matmul(preslice(a), b)
 
 
@@ -151,22 +143,44 @@ def _combine_diagonals(m: int, pair_dot) -> DD:
     return acc
 
 
+def _chunked_diagonals(m: int, pair_dot_chunk) -> DD:
+    """_combine_diagonals over a contraction of length m, split into
+    MAX_CONTRACT chunks so each chunk's f32 accumulation stays exact;
+    chunk results are dd-summed.  `pair_dot_chunk(t, u, s, e)` returns the
+    (t, u) slice-pair dot restricted to contraction rows [s, e)."""
+    if m <= MAX_CONTRACT:
+        return _combine_diagonals(m, lambda t, u: pair_dot_chunk(t, u, 0, m))
+    out = None
+    for s in range(0, m, MAX_CONTRACT):
+        e = min(s + MAX_CONTRACT, m)
+        piece = _combine_diagonals(
+            e - s, lambda t, u, s=s, e=e: pair_dot_chunk(t, u, s, e)
+        )
+        out = piece if out is None else ddm.add(out, piece)
+    return out
+
+
 def sliced_matmul(A: SlicedMat, b: DD) -> DD:
     """C = A @ b with A pre-sliced (T, p, m) and b dd (m, q).
 
     Only b is sliced here (one peel pass); the 28 slice-pair dots read
     their operands as in-place views of the slice arrays and combine per
     correction diagonal via _combine_diagonals (exact f32 epilogue adds).
+    Contractions beyond MAX_CONTRACT are chunked (per-chunk exact
+    accumulation, dd adds across chunks) — chunking presliced arrays is
+    valid because peeling is elementwise and the row scales cover the
+    whole row.
     """
     m = b.hi.shape[0]
-    assert m <= MAX_CONTRACT and m == A.S.shape[2]
+    assert m == A.S.shape[2]
     sa = A.scale
     sb = _pow2_colscale(b, axis=0)         # (1, q) col scales of b
     B = _slices(b, sb)                     # (T, m, q)
 
-    acc = _combine_diagonals(
-        m, lambda t, u: jax.lax.dot_general(
-            A.S[t], B[u],
+    acc = _chunked_diagonals(
+        m, lambda t, u, s, e: jax.lax.dot_general(
+            jax.lax.slice_in_dim(A.S[t], s, e, axis=1),
+            jax.lax.slice_in_dim(B[u], s, e, axis=0),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -182,13 +196,14 @@ def sliced_gram(A: SlicedMat) -> DD:
     power-of-two scales), so the Gram costs ZERO extra slicing passes.
     Slicing is the memory-bound part of the Ozaki scheme (7 peeled passes
     over the full matrix); the KKT factor already preslices W^-1 G for the
-    back-solves, making its Gram slicing entirely free.
+    back-solves, making its Gram slicing entirely free.  Contractions
+    beyond MAX_CONTRACT are chunked like sliced_matmul.
     """
-    p, m = A.S.shape[1], A.S.shape[2]
-    assert m <= MAX_CONTRACT
-    acc = _combine_diagonals(
-        m, lambda t, u: jax.lax.dot_general(
-            A.S[t], A.S[u],
+    m = A.S.shape[2]
+    acc = _chunked_diagonals(
+        m, lambda t, u, s, e: jax.lax.dot_general(
+            jax.lax.slice_in_dim(A.S[t], s, e, axis=1),
+            jax.lax.slice_in_dim(A.S[u], s, e, axis=1),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

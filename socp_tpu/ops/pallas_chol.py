@@ -1,22 +1,25 @@
 """Pallas TPU kernels: VMEM-resident Cholesky / triangular solves.
 
-The sequential column loops are exactly the shape XLA handles worst
-(~12us of per-step kernel overhead, measured); pinning the working set in
-VMEM inside ONE kernel is the only way past that floor.  All kernels are
-validated in interpreter mode against the jnp reference implementations.
+The sequential column loops of a factorization/substitution are exactly the
+shape XLA handles worst on TPU (~12us of per-step dispatch overhead,
+measured — see ops/dd_linalg.py); pinning the working set in VMEM inside
+ONE kernel removes that floor: the whole O(n) step sequence is a single
+hardware loop.
 
-STATUS ON THE CURRENT TOOLCHAIN: the installed Mosaic lowering cannot
-compile these for real TPUs — three independent blockers, each verified
-2026-08-16 on jax 0.9.0:
-  1. `lax.dynamic_slice` inside TC kernels: NotImplementedError;
-  2. bool->f32 and f64 `convert_element_type`: the lowering rule calls
-     itself through _convert_helper and recurses infinitely (hit even by
-     an iota==j one-hot + dot inside fori_loop);
-  3. `lax.optimization_barrier`: NotImplementedError — this one is fatal
-     for ALL dd32 arithmetic, whose error-free transforms rely on the
-     barrier to survive XLA's float simplifications (ops/dd.py).
-The shipping TPU path therefore uses the XLA-compiled blocked kernels in
-ops/dd_linalg.py; revisit when the toolchain's Mosaic gains these ops.
+Mosaic-compatibility rules (all verified on hardware, jax 0.9.0, via
+scripts/pallas_probe.py — round 1 wrongly concluded these kernels could
+not compile):
+  * NO `lax.dynamic_slice`: columns are extracted with a one-hot masked
+    VPU reduction.  (An MXU dot against a one-hot is NOT safe: TPU f32
+    matmuls run as truncated-bf16 passes — measured 3e-3 error.)
+  * NO bool/f64 `convert_element_type`: every literal is jnp.float32,
+    masks only feed jnp.where, and fori_loop bounds are int32 (under x64
+    the default i64 counter's comparisons against int32 iota recurse in
+    Mosaic's convert helper).
+  * NO `lax.optimization_barrier`: dd arithmetic is traced under
+    `ddm.barrier_free()` — Mosaic's MLIR pipeline does not re-associate
+    floats, so the raw error-free transforms compile exactly (verified
+    bit-exact vs f64 on hardware).
 
 Batching: `jax.vmap` over the `pallas_call` (batch dim becomes a grid
 dim).  Non-TPU backends run interpret mode, so tests exercise the same
@@ -41,58 +44,123 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _f32_chol_body(n: int, M):
+def _i32(v) -> jax.Array:
+    return jnp.int32(v)
+
+
+# ---------------------------------------------------------------------------
+# f32 Cholesky
+# ---------------------------------------------------------------------------
+
+def _f32_chol_kernel(h_ref, l_ref):
+    n = h_ref.shape[-1]
     rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
     def step(j, M):
-        col = lax.dynamic_slice(M, (0, j), (n, 1))          # (n, 1)
-        d = jnp.sqrt(lax.dynamic_slice(M, (j, j), (1, 1)))  # (1, 1)
-        c = jnp.where(rows[:, :1] >= j, col / d, 0.0)
+        sel = jnp.where(iota.T == j, jnp.float32(1.0), jnp.float32(0.0))
+        col = jnp.sum(M * sel, axis=1, keepdims=True)           # (n, 1)
+        piv = jnp.sum(col * sel.T)
+        d = jnp.sqrt(piv)
+        c = jnp.where(iota >= j, col / d, jnp.float32(0.0))
         M = jnp.where((rows > j) & (cols > j), M - c * c.T, M)
         M = jnp.where(cols == j, c, M)
         return M
 
-    M = lax.fori_loop(0, n, step, M)
-    return jnp.where(rows >= cols, M, 0.0)
-
-
-def _f32_kernel(h_ref, l_ref):
-    n = h_ref.shape[-1]
-    l_ref[...] = _f32_chol_body(n, h_ref[...])
+    M = lax.fori_loop(_i32(0), _i32(n), step, h_ref[...])
+    l_ref[...] = jnp.where(rows >= cols, M, jnp.float32(0.0))
 
 
 def cholesky_f32(H: jax.Array) -> jax.Array:
-    """Lower Cholesky of one (n, n) SPD f32 matrix (vmap for batches)."""
+    """Lower Cholesky of one (n, n) SPD f32 matrix (vmap for batches).
+
+    Compiled on TPU (verified ~6e-7 relative reconstruction at n=128);
+    interpret mode elsewhere."""
     n = H.shape[-1]
     return pl.pallas_call(
-        _f32_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), H.dtype),
+        _f32_chol_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         interpret=_interpret(),
-    )(H)
+    )(H.astype(jnp.float32))
 
 
-def _dd_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
+# ---------------------------------------------------------------------------
+# f32 triangular pair solve (forward + backward), k RHS columns
+# ---------------------------------------------------------------------------
+
+def _f32_tri_kernel(l_ref, lt_ref, b_ref, x_ref):
+    n = l_ref.shape[0]
+    L = l_ref[...]
+    LT = lt_ref[...]
+    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def substitute(M, B, j, below):
+        sel = jnp.where(iota.T == j, jnp.float32(1.0), jnp.float32(0.0))
+        col = jnp.sum(M * sel, axis=1, keepdims=True)           # (n, 1)
+        piv = jnp.sum(col * sel.T)                              # scalar
+        bj = jnp.sum(B * sel.T, axis=0, keepdims=True)          # (1, k)
+        xj = bj / piv
+        is_j = iota == j
+        B = jnp.where(is_j, xj, B)
+        mask = (iota > j) if below else (iota < j)
+        coef = jnp.where(mask, col, jnp.float32(0.0))
+        return B - coef * xj
+
+    def fwd(j, B):
+        return substitute(L, B, j, below=True)
+
+    def bwd(t, B):
+        return substitute(LT, B, _i32(n - 1) - t, below=False)
+
+    B = lax.fori_loop(_i32(0), _i32(n), fwd, b_ref[...])
+    B = lax.fori_loop(_i32(0), _i32(n), bwd, B)
+    x_ref[...] = B
+
+
+def tri_solve_f32(L: jax.Array, LT: jax.Array, B: jax.Array) -> jax.Array:
+    """(L L')^-1 B for one (n, n) f32 factor and (n, k) rhs, VMEM-resident:
+    the whole forward+backward substitution is ONE kernel (2n hardware-loop
+    steps) instead of ~2n XLA dispatches."""
+    n, k = B.shape
+    return pl.pallas_call(
+        _f32_tri_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
+        interpret=_interpret(),
+    )(L.astype(jnp.float32), LT.astype(jnp.float32), B.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# dd32 Cholesky
+# ---------------------------------------------------------------------------
+
+def _select_col(Mhi, Mlo, sel) -> DD:
+    """Column j of a dd matrix via masked VPU reduction (exact selection);
+    sel is the (1, n) one-hot row."""
+    return DD(
+        jnp.sum(Mhi * sel, axis=1, keepdims=True),
+        jnp.sum(Mlo * sel, axis=1, keepdims=True),
+    )
+
+
+def _dd_chol_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
     n = hi_ref.shape[-1]
     rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    zero = jnp.float32(0.0)
 
     def step(j, carry):
         hi, lo = carry
         M = DD(hi, lo)
-        col = DD(
-            lax.dynamic_slice(hi, (0, j), (n, 1)),
-            lax.dynamic_slice(lo, (0, j), (n, 1)),
-        )
-        d = ddm.sqrt(
-            DD(
-                lax.dynamic_slice(hi, (j, j), (1, 1)),
-                lax.dynamic_slice(lo, (j, j), (1, 1)),
-            )
-        )
+        sel = jnp.where(iota.T == j, jnp.float32(1.0), zero)
+        col = _select_col(hi, lo, sel)
+        piv = DD(jnp.sum(col.hi * sel.T, keepdims=True),
+                 jnp.sum(col.lo * sel.T, keepdims=True))        # (1, 1)
+        d = ddm.sqrt(piv)
         c = ddm.div(col, d)
-        rmask = rows[:, :1] >= j
-        c = DD(jnp.where(rmask, c.hi, 0.0), jnp.where(rmask, c.lo, 0.0))
+        rmask = iota >= j
+        c = DD(jnp.where(rmask, c.hi, zero), jnp.where(rmask, c.lo, zero))
         upd = ddm.sub(M, ddm.mul(c, c.T))
         trail = (rows > j) & (cols > j)
         M = ddm.where(trail, upd, M)
@@ -101,61 +169,56 @@ def _dd_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
                       M)
         return (M.hi, M.lo)
 
-    hi, lo = lax.fori_loop(0, n, step, (hi_ref[...], lo_ref[...]))
+    hi, lo = lax.fori_loop(_i32(0), _i32(n), step, (hi_ref[...], lo_ref[...]))
     lower = rows >= cols
-    lhi_ref[...] = jnp.where(lower, hi, 0.0)
-    llo_ref[...] = jnp.where(lower, lo, 0.0)
+    lhi_ref[...] = jnp.where(lower, hi, zero)
+    llo_ref[...] = jnp.where(lower, lo, zero)
 
 
 def cholesky_dd(H: DD) -> DD:
     """Lower dd Cholesky of one (n, n) SPD dd matrix, fully VMEM-resident."""
     n = H.hi.shape[-1]
-    hi, lo = pl.pallas_call(
-        _dd_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, n), jnp.float32),
-            jax.ShapeDtypeStruct((n, n), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(H.hi, H.lo)
+    with ddm.barrier_free():
+        hi, lo = pl.pallas_call(
+            _dd_chol_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, n), jnp.float32),
+                jax.ShapeDtypeStruct((n, n), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(H.hi, H.lo)
     return DD(hi, lo)
 
 
+# ---------------------------------------------------------------------------
+# dd32 triangular pair solve, k RHS columns
+# ---------------------------------------------------------------------------
+
 def _tri_pair_kernel(lhi_ref, llo_ref, lthi_ref, ltlo_ref,
                      bhi_ref, blo_ref, xhi_ref, xlo_ref):
-    """(L L')^-1 b for one (n, n) dd factor and (n, 1) dd rhs, fully
-    VMEM-resident: the whole forward+backward substitution is ONE kernel
-    (2n hardware-loop steps), vs ~2n XLA loop iterations each costing
-    ~12us of per-step kernel overhead.  No dynamic indexing: column j is
-    extracted with a one-hot matmul (exact — selection), the pivot with a
-    masked sum, so nothing here needs the dynamic_slice lowering Mosaic
-    lacks.  The backward pass reads columns of L' from the separately
-    passed LT operand (no in-kernel transposes)."""
+    """(L L')^-1 B for one (n, n) dd factor and (n, k) dd rhs, fully
+    VMEM-resident.  The backward pass reads columns of L' from the
+    separately passed LT operand (no in-kernel transposes)."""
     n = lhi_ref.shape[0]
     L_hi, L_lo = lhi_ref[...], llo_ref[...]
     LT_hi, LT_lo = lthi_ref[...], ltlo_ref[...]
     iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    zero = jnp.float32(0.0)
 
     def substitute(Mhi, Mlo, carry_hi, carry_lo, j, below):
-        # explicit f32 constants: under x64 the literals would make this
-        # f64, and Mosaic's f64 convert_element_type lowering recurses
-        onehot = jnp.where(iota == j, jnp.float32(1.0), jnp.float32(0.0))
-        col = DD(
-            jnp.dot(Mhi, onehot, preferred_element_type=jnp.float32),
-            jnp.dot(Mlo, onehot, preferred_element_type=jnp.float32),
-        )
+        sel = jnp.where(iota.T == j, jnp.float32(1.0), zero)    # (1, n)
+        col = _select_col(Mhi, Mlo, sel)
         B = DD(carry_hi, carry_lo)
-        piv = DD(jnp.sum(col.hi * onehot, keepdims=True),
-                 jnp.sum(col.lo * onehot, keepdims=True))  # (1, 1)
-        bj = DD(jnp.sum(B.hi * onehot, keepdims=True),
-                jnp.sum(B.lo * onehot, keepdims=True))
-        xj = ddm.div(bj, piv)                              # (1, 1)
+        piv = DD(jnp.sum(col.hi * sel.T, keepdims=True),
+                 jnp.sum(col.lo * sel.T, keepdims=True))        # (1, 1)
+        bj = DD(jnp.sum(B.hi * sel.T, axis=0, keepdims=True),
+                jnp.sum(B.lo * sel.T, axis=0, keepdims=True))   # (1, k)
+        xj = ddm.div(bj, piv)                                   # (1, k)
         is_j = iota == j
         B = ddm.where(is_j,
                       DD(xj.hi + jnp.zeros_like(B.hi),
                          xj.lo + jnp.zeros_like(B.lo)), B)
         mask = (iota > j) if below else (iota < j)
-        zero = jnp.float32(0.0)
         coef = DD(jnp.where(mask, col.hi, zero),
                   jnp.where(mask, col.lo, zero))
         B = ddm.sub(B, ddm.mul(coef, xj))
@@ -165,24 +228,25 @@ def _tri_pair_kernel(lhi_ref, llo_ref, lthi_ref, ltlo_ref,
         return substitute(L_hi, L_lo, carry[0], carry[1], j, below=True)
 
     def bwd(t, carry):
-        return substitute(LT_hi, LT_lo, carry[0], carry[1], n - 1 - t,
+        return substitute(LT_hi, LT_lo, carry[0], carry[1], _i32(n - 1) - t,
                           below=False)
 
-    hi, lo = lax.fori_loop(0, n, fwd, (bhi_ref[...], blo_ref[...]))
-    hi, lo = lax.fori_loop(0, n, bwd, (hi, lo))
+    hi, lo = lax.fori_loop(_i32(0), _i32(n), fwd, (bhi_ref[...], blo_ref[...]))
+    hi, lo = lax.fori_loop(_i32(0), _i32(n), bwd, (hi, lo))
     xhi_ref[...] = hi
     xlo_ref[...] = lo
 
 
 def tri_pair_solve(L: DD, LT: DD, b: DD) -> DD:
-    """VMEM-resident (L L')^-1 b; b is (n, 1) dd.  vmap for batches."""
-    n = L.hi.shape[-1]
-    hi, lo = pl.pallas_call(
-        _tri_pair_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(L.hi, L.lo, LT.hi, LT.lo, b.hi, b.lo)
+    """VMEM-resident (L L')^-1 b; b is (n, k) dd.  vmap for batches."""
+    n, k = b.hi.shape
+    with ddm.barrier_free():
+        hi, lo = pl.pallas_call(
+            _tri_pair_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, k), jnp.float32),
+                jax.ShapeDtypeStruct((n, k), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(L.hi, L.lo, LT.hi, LT.lo, b.hi, b.lo)
     return DD(hi, lo)

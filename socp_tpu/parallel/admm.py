@@ -6,29 +6,44 @@ through the first-stage (consensus) variables:
 
     minimize (1/S) sum_i f_i(x_i)   s.t.  E x_i = w_bar  for all i
 
-Scaled-form consensus ADMM:
+Scaled-form consensus ADMM with over-relaxation (Boyd et al. 2011, ch. 3):
 
     x_i^+    = argmin f_i(x_i) + (rho/2) || E x_i - w_bar + u_i ||^2
-    w_bar^+  = mean_i (E x_i^+ + u_i)        <- ONE pmean over the mesh
-    u_i^+    = u_i + E x_i^+ - w_bar^+
+    xh_i     = alpha E x_i^+ + (1 - alpha) w_bar          (over-relaxation)
+    w_bar^+  = mean_i (xh_i + u_i)          <- ONE mesh all-reduce
+    u_i^+    = u_i + xh_i - w_bar^+
 
-The x-update is itself an SOCP with constant quadratic term P = rho E'E and
-a per-outer-iteration linear term — i.e. exactly our batched QP-SOCP
-lockstep solver, so the inner solves run vmapped/sharded on the mesh (DP
-over scenarios on ICI; the consensus mean is the only cross-scenario
-traffic, matching the DCN-axis design for multi-host pods).
+DEVICE-RESIDENT DESIGN: one outer round is ONE jitted program — the inner
+vmapped lockstep IPM, the consensus mean (an XLA all-reduce when the
+scenario batch is mesh-sharded), and the dual/c_eff updates all run on
+device.  Per round the host sees only three scalars (pres, dres, all-ok);
+the (S, n) scenario solutions never leave the device until the caller asks
+for them.  With a 2-D pod mesh (runtime.pod_mesh) the scenario batch is
+sharded over BOTH axes, so the consensus all-reduce is hierarchical: ICI
+within each host, one small DCN hop across hosts — the SURVEY section 5
+"consensus averaging = one pmean over the DCN axis" design.
+
+Adaptive rho uses residual balancing (Boyd sec. 3.4.1) with the standard
+scaled-dual rescaling u <- u * rho_old / rho_new.  rho enters the inner
+QP only through the (diagonal) quadratic term and c_eff, both built inside
+the jitted round from a device scalar, so changing it does NOT recompile.
+
+Checkpoint/resume: `checkpoint_every` snapshots (w_bar, u, rho, round) via
+utils.checkpoint.SolverCheckpoint; `resume_from` restarts a run from such
+a snapshot (SURVEY.md section 5 checkpoint row).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import functools
+from typing import Optional, Union
 
 import numpy as np
 
-from socp_tpu import api
 from socp_tpu.config import DEFAULT_CONFIG, SolverConfig
 from socp_tpu.problem import ConeDims
+from socp_tpu.utils.checkpoint import SolverCheckpoint
 
 
 @dataclasses.dataclass
@@ -40,6 +55,23 @@ class ADMMResult:
     dual_res: float            # rho ||w_bar^+ - w_bar||
     outer_iterations: int
     inner_status_ok: bool
+    rho: float = 1.0           # final penalty (after adaptation)
+
+
+def _mesh_specs(mesh):
+    """(put_batched, replicated_sharding): the scenario batch is sharded
+    over ALL mesh axes, so with a 2-D pod mesh the consensus all-reduce is
+    hierarchical — ICI within a host row, one small DCN hop across rows."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    axes = tuple(mesh.axis_names)
+    batched = NamedSharding(mesh, PS(axes if len(axes) > 1 else axes[0]))
+
+    def put_b(a):
+        return jax.device_put(a, batched)
+
+    return put_b, NamedSharding(mesh, PS())
 
 
 def admm_consensus(
@@ -56,94 +88,140 @@ def admm_consensus(
     config: SolverConfig = DEFAULT_CONFIG,
     mesh=None,
     verbose: bool = False,
+    over_relax: float = 1.6,
+    adapt_rho: bool = True,
+    checkpoint_every: int = 0,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Union[SolverCheckpoint, str, None] = None,
 ) -> ADMMResult:
     """Run consensus ADMM; inner solves via the batched lockstep IPM
-    (sharded over `mesh` when given)."""
-    S, n = c.shape
-    nc = n_consensus
-    E = np.zeros((n,))
-    E[:nc] = 1.0
-    P = rho * np.diag(E)               # shared quadratic term, constant
-
-    w_bar = np.zeros(nc)
-    u = np.zeros((S, nc))
-    x = np.zeros((S, n))
-
-    # The scenario data (G, h, A, b, P) is constant across outer iterations;
-    # only the effective objective changes.  Upload everything once and swap
-    # the (small) c each round — the inner solve stays device-resident, so
-    # outer-loop cost is solver time, not host-link bandwidth.
+    (sharded over `mesh` when given — 1-D, or the 2-D runtime.pod_mesh)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np_
 
-    state = {}
+    from socp_tpu import api
+    from socp_tpu.cones.layout import make_layout
+    from socp_tpu.ipm import dd_driver, driver
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as PS
-
-        (axis,) = mesh.axis_names
-
-        def put_c(c_eff, dtype):
-            return jax.device_put(
-                jnp.asarray(c_eff, dtype),
-                NamedSharding(mesh, PS(axis, None)),
-            )
+    S, n = c.shape
+    nc = n_consensus
+    config = api._resolve_pallas(config, n, batch=S)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    layout = make_layout(dims, config.bucket_multiple)
+    batch_A = A is not None and np.ndim(A) == 3
+    if A is None:
+        A_h, b_h = np.zeros((0, n)), np.zeros((0,))
     else:
-        def put_c(c_eff, dtype):
-            return jnp.asarray(c_eff, dtype)
+        A_h, b_h = np.asarray(A), np.asarray(b)
 
-    def inner(c_eff):
-        if not state:
-            fn, args, layout = api.prepare_batch(
-                c_eff, G, h, dims, A=A, b=b, P=P, config=config
-            )
-            if mesh is not None:
-                args = (put_c(c_eff, args[0].dtype),) + tuple(
-                    jax.device_put(a, NamedSharding(
-                        mesh, PS(axis, *([None] * (a.ndim - 1)))
-                    )) if a.ndim and a.shape[0] == c_eff.shape[0] else
-                    jax.device_put(a, NamedSharding(mesh, PS()))
-                    for a in args[1:]
-                )
-            state["fn"], state["args"] = fn, args
-        else:
-            args = state["args"]
-            state["args"] = (put_c(c_eff, args[0].dtype),) + args[1:]
-        out = state["fn"](*state["args"])
-        x = np_.asarray(out[0], np_.float64)
-        status = np_.asarray(out[4])
-        return (x, None, None, None, status)
+    if config.native_dd:
+        core1 = functools.partial(dd_driver.solve_core_dd, layout, config,
+                                  has_P=True)
+    else:
+        core1 = functools.partial(driver.solve_core, layout, config,
+                                  has_P=True)
+    core = jax.vmap(core1, in_axes=(0, 0, 0, 0 if batch_A else None,
+                                    0 if batch_A else None, None))
+
+    alpha = float(over_relax)
+    E_mask = (np.arange(n) < nc).astype(np.float64)
+
+    def one_round(w_bar, u, rho_d, cD, GD, hD, AD, bD, ED):
+        # effective linear term: c + rho (u - w_bar) on the consensus coords
+        pad = jnp.zeros((S, n - nc), dtype)
+        c_eff = cD + rho_d * jnp.concatenate([u - w_bar[None, :], pad], 1)
+        P = jnp.diag(ED) * rho_d                      # (n, n), shared
+        out = core(c_eff, GD, hD, AD, bD, P)
+        x = out[0].astype(dtype)                      # (S, n)
+        status = out[4]
+        xc = x[:, :nc]
+        xh = alpha * xc + (1.0 - alpha) * w_bar[None, :]
+        w_new = jnp.mean(xh + u, axis=0)              # <- the mesh all-reduce
+        u_new = u + xh - w_new[None, :]
+        pres = jnp.sqrt(jnp.mean(jnp.sum((xc - w_new[None, :]) ** 2, axis=1)))
+        dres = rho_d * jnp.linalg.norm(w_new - w_bar)
+        ok = jnp.all(status == 0)
+        return w_new, u_new, x, pres, dres, ok
+
+    # ---- place constant problem data once (sharded over the mesh if given)
+    Gp = layout.pad_rows(np.asarray(G))
+    hp = layout.pad_vec(np.asarray(h))
+    if mesh is not None:
+        put_b, rep = _mesh_specs(mesh)
+
+        def put_r(a):
+            return jax.device_put(jnp.asarray(a, dtype), rep)
+    else:
+        def put_b(a):
+            return jnp.asarray(a, dtype)
+
+        put_r = put_b
+
+    cD = put_b(jnp.asarray(c, dtype))
+    GD = put_b(jnp.asarray(Gp, dtype))
+    hD = put_b(jnp.asarray(hp, dtype))
+    AD = put_b(jnp.asarray(A_h, dtype)) if batch_A else put_r(A_h)
+    bD = put_b(jnp.asarray(b_h, dtype)) if batch_A else put_r(b_h)
+    ED = put_r(E_mask)
+
+    jitted = jax.jit(one_round, donate_argnums=(0, 1))
+
+    # ---- initial state (fresh or resumed)
+    it0 = 0
+    if resume_from is not None:
+        ck = (SolverCheckpoint.load(resume_from)
+              if isinstance(resume_from, str) else resume_from)
+        w_bar = put_r(np.asarray(ck.x, np.float64))
+        u = put_b(jnp.asarray(np.asarray(ck.y, np.float64), dtype))
+        rho = float(ck.meta.get("rho", rho))
+        it0 = int(ck.iteration)
+    else:
+        w_bar = put_r(np.zeros(nc))
+        u = put_b(jnp.zeros((S, nc), dtype))
 
     pres = dres = np.inf
-    it = 0
     ok = True
-    for it in range(outer_iters):
-        # x-update: min f_i + (rho/2)||x_c - w_bar + u_i||^2
-        #   = SOCP with P = rho*diag(E), c_eff = c + rho*(u_i - w_bar) on
-        #     consensus coords
-        c_eff = c.copy()
-        c_eff[:, :nc] += rho * (u - w_bar)
-        out = inner(c_eff)
-        x, status = out[0], out[4]
-        ok = bool(np.all((status == 0)))
-
-        xc = x[:, :nc]
-        w_new = np.mean(xc + u, axis=0)
-        u = u + xc - w_new
-        pres = float(np.sqrt(np.mean(np.sum((xc - w_new) ** 2, axis=1))))
-        dres = float(rho * np.linalg.norm(w_new - w_bar))
-        w_bar = w_new
+    x = None
+    rounds = 0
+    for it in range(it0, outer_iters):
+        rounds += 1
+        w_bar, u, x, pres_d, dres_d, ok_d = jitted(
+            w_bar, u, jnp.asarray(rho, dtype), cD, GD, hD, AD, bD, ED
+        )
+        # the ONLY per-round host traffic: three scalars
+        pres, dres, ok = float(pres_d), float(dres_d), bool(ok_d)
         if verbose:
-            print(f"admm {it:3d} pres={pres:.3e} dres={dres:.3e}")
-        if pres <= tol and dres <= tol:
+            print(f"admm {it:3d} pres={pres:.3e} dres={dres:.3e} rho={rho:.2g}")
+        converged = pres <= tol and dres <= tol
+        if not converged and adapt_rho:
+            # residual balancing (Boyd 3.4.1); u is the SCALED dual, so it
+            # rescales by rho_old/rho_new
+            if pres > 10.0 * dres:
+                rho *= 2.0
+                u = u * 0.5
+            elif dres > 10.0 * pres:
+                rho *= 0.5
+                u = u * 2.0
+        # snapshot AFTER adaptation: the saved (w_bar, u, rho, it+1) is
+        # exactly the start-of-next-round state, so resume is bit-faithful
+        if checkpoint_every and checkpoint_path and (
+            (it + 1) % checkpoint_every == 0
+        ):
+            SolverCheckpoint(
+                x=np.asarray(w_bar), y=np.asarray(u),
+                s=np.zeros(0), z=np.zeros(0), iteration=it + 1,
+                meta={"rho": rho, "pres": pres, "dres": dres},
+            ).save(checkpoint_path)
+        if converged:
             break
 
-    # objective at the consensus point (first-stage coords forced to w_bar)
-    x_cons = x.copy()
-    x_cons[:, :nc] = w_bar
+    x_np = np.asarray(x, np.float64) if x is not None else np.zeros((S, n))
+    w_np = np.asarray(w_bar, np.float64)
+    x_cons = x_np.copy()
+    x_cons[:, :nc] = w_np
     objective = float(np.mean(np.sum(c * x_cons, axis=1)))
     return ADMMResult(
-        w_bar=w_bar, x=x, objective=objective, primal_res=pres,
-        dual_res=dres, outer_iterations=it + 1, inner_status_ok=ok,
+        w_bar=w_np, x=x_np, objective=objective, primal_res=pres,
+        dual_res=dres, outer_iterations=rounds, inner_status_ok=ok,
+        rho=rho,
     )

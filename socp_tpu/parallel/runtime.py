@@ -32,19 +32,37 @@ def init_distributed(
 
     With no arguments, relies on the TPU pod's automatic environment
     discovery (the standard path on Cloud TPU slices); arguments are for
-    manual bring-up.  Must run before any computation touches devices.
+    manual bring-up.  Must run before any computation touches devices —
+    in particular BEFORE anything calls jax.devices()/process_count(),
+    which initialize the local backend and make distributed.initialize()
+    raise.  We therefore check the distributed client state directly
+    instead of probing process_count() first.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
+    from jax._src import distributed as _distributed
+
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # coordinator already up (idempotent call)
+    if coordinator_address is None and num_processes is None and process_id is None:
+        import os
+
+        env_keys = (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
         )
-    except (ValueError, RuntimeError):
-        # single-process / no coordinator env: local-only run
-        pass
+        # TPU_WORKER_HOSTNAMES is set even on single-host TPU VMs (verified
+        # on the dev box); it only implies a pod when it lists >1 worker.
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi_worker = len([w for w in workers.split(",") if w.strip()]) > 1
+        if not multi_worker and not any(k in os.environ for k in env_keys):
+            return  # no coordinator info anywhere: single-process local run
+    # Errors deliberately propagate — swallowing RuntimeError ("must be
+    # called before backends are initialized") would let a pod silently run
+    # as N independent single-host processes while appearing to succeed.
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def pod_mesh(
@@ -60,7 +78,11 @@ def pod_mesh(
     the scenario axis has one entry per process, so block-Schur collectives
     never cross DCN.
     """
-    devs = np.asarray(jax.devices())
+    # Group devices by owning process, not by global id order: on some pod
+    # topologies jax.devices() does not list each process's local devices
+    # contiguously, and a naive reshape would put the `blocks` axis across
+    # DCN, defeating the ICI-only design for the per-iteration Schur psum.
+    devs = np.asarray(sorted(jax.devices(), key=lambda d: (d.process_index, d.id)))
     n_proc = scenario_size or max(jax.process_count(), 1)
     if devs.size % n_proc != 0:
         raise ValueError(

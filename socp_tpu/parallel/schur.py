@@ -84,6 +84,7 @@ class BlockState(NamedTuple):
     by: jax.Array
     bs: jax.Array
     bz_: jax.Array
+    hist: jax.Array   # (max_iter, 6) when cfg.collect_history, else (0, 6)
 
 
 def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
@@ -113,6 +114,17 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
 
     def pmin(v):
         return lax.pmin(v, axis) if ndev > 1 else v
+
+    def schur_reduce(S_loc):
+        """The ONE large collective per factor: sum of the local (p, p)
+        Schur contributions.  Ring (ppermute hops, overlappable with the
+        replicated chol(S) panel work that follows) or monolithic psum."""
+        if cfg.ring_schur and ndev > 1:
+            from socp_tpu.parallel.collectives import ring_allreduce
+
+            return ring_allreduce(S_loc, axis, ndev,
+                                  n_chunks=min(4, max(S_loc.shape[-1], 1)))
+        return psum(S_loc)
 
     def gnorm(local_sq):
         """Global 2-norm from local sum-of-squares."""
@@ -178,7 +190,7 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
             LH = v_ddchol(H)
             HinvAT = v_ddsolve(LH, ddm.from_f64(jnp.swapaxes(A, 1, 2)))
             S_loc = jax.vmap(dd_matmul)(A_dd, HinvAT)        # (Kl, p, p)
-            S = psum(jnp.sum(S_loc.astype_f64(), axis=0))
+            S = schur_reduce(jnp.sum(S_loc.astype_f64(), axis=0))
             LS = _eq_chol(S, cfg.delta_reg)
             return Factored(LH=LH, LS=LS, Ghat=(Ghat_s, GhatT_s),
                             scaling=scaling)
@@ -187,7 +199,7 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
             H = H + Pq
         LH = v_chol(H)
         HinvAT = v_solve(LH, jnp.swapaxes(A, 1, 2))      # (Kl, nb, p)
-        S = psum(jnp.einsum("kpn,knq->pq", A, HinvAT))
+        S = schur_reduce(jnp.einsum("kpn,knq->pq", A, HinvAT))
         LS = _eq_chol(S, cfg.delta_reg)
         return Factored(LH=LH, LS=LS, Ghat=Ghat, scaling=scaling)
 
@@ -230,8 +242,17 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
 
     def kkt_solve(f: Factored, bx, by, bz):
         """Solve + iterative refinement on the block 3x3 residual
-        (each round costs one extra psum + local back-solves)."""
+        (each round costs one extra psum + local back-solves).  Returns the
+        post-refinement relative residual `quality` — the direction-quality
+        stall signal (parity with ipm/driver.py: a direction whose KKT
+        residual stays large is unusable; stop instead of stepping)."""
         dx, dy, dz = kkt_solve_once(f, bx, by, bz)
+        quality = jnp.zeros((), dtype)
+        if cfg.refine_steps <= 0:
+            return dx, dy, dz, quality
+        rhs_norm = jnp.sqrt(
+            psum(jnp.sum(bx * bx) + jnp.sum(bz * bz)) + jnp.sum(by * by)
+        ) + 1.0
         for _ in range(cfg.refine_steps):
             rx = bx - (jnp.einsum("kpn,p->kn", A, dy) + _GT_dz(dz))
             if has_P:
@@ -239,9 +260,12 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
             ry = by - psum(jnp.einsum("kpn,kn->p", A, dx))
             WWdz = v_W(f.scaling, v_W(f.scaling, dz))
             rz = bz - (_G_dx(dx) - WWdz)
+            quality = jnp.sqrt(
+                psum(jnp.sum(rx * rx) + jnp.sum(rz * rz)) + jnp.sum(ry * ry)
+            ) / rhs_norm
             ex, ey, ez = kkt_solve_once(f, rx, ry, rz)
             dx, dy, dz = dx + ex, dy + ey, dz + ez
-        return dx, dy, dz
+        return dx, dy, dz, quality
 
     def residuals(x, y, s, z):
         rx = jnp.einsum("kpn,p->kn", A, y) + _GT_dz(z) + c
@@ -256,16 +280,17 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
         jnp.arange(Kl)
     )
     f0 = factor(sc0)
-    x0, _, z0 = kkt_solve(f0, jnp.zeros((Kl, nb), dtype), b, h)
+    x0, _, z0, _ = kkt_solve(f0, jnp.zeros((Kl, nb), dtype), b, h)
     shat = -z0
     ap = -pmin(jnp.min(v_lmin(shat)))
     s0 = jnp.where(ap < 0, shat, shat + (1.0 + ap) * e)
-    _, y0, zhat = kkt_solve(
+    _, y0, zhat, _ = kkt_solve(
         f0, -c, jnp.zeros((p,), dtype), jnp.zeros((Kl, layout.m_pad), dtype)
     )
     ad = -pmin(jnp.min(v_lmin(zhat)))
     z0 = jnp.where(ad < 0, zhat, zhat + (1.0 + ad) * e)
 
+    n_hist = cfg.max_iter if cfg.collect_history else 0
     st0 = BlockState(
         x=x0, y=y0, s=s0, z=z0,
         k=jnp.zeros((), jnp.int32),
@@ -273,6 +298,7 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
         done=jnp.zeros((), bool),
         best_merit=jnp.asarray(jnp.inf, dtype),
         bx=x0, by=y0, bs=s0, bz_=z0,
+        hist=jnp.zeros((n_hist, 6), dtype),
     )
 
     def body(st: BlockState) -> BlockState:
@@ -329,13 +355,15 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
 
         def newton(d_s):
             dtil = v_jdiv(lam, d_s)
-            dx, dy, dz = kkt_solve(fac, -rx, -ry, -rz + v_W(scaling, dtil))
+            dx, dy, dz, quality = kkt_solve(
+                fac, -rx, -ry, -rz + v_W(scaling, dtil)
+            )
             dz_sc = v_W(scaling, dz)
             ds_sc = -(dtil + dz_sc)
-            return dx, dy, dz, ds_sc, dz_sc
+            return dx, dy, dz, ds_sc, dz_sc, quality
 
         lam2 = v_jprod(lam, lam)
-        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a = newton(lam2)
+        dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(lam2)
         alpha_a = jnp.minimum(
             pmin(jnp.min(v_maxstep(lam, ds_sc_a))),
             pmin(jnp.min(v_maxstep(lam, dz_sc_a))),
@@ -347,7 +375,7 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
         sigma = jnp.clip(gap_a / gap, 0.0, 1.0) ** 3
 
         d_s = lam2 + v_jprod(ds_sc_a, dz_sc_a) - sigma * mu * e
-        dx, dy, dz, ds_sc, dz_sc = newton(d_s)
+        dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
         ds = v_W(scaling, ds_sc)
 
         alpha = jnp.minimum(
@@ -361,7 +389,8 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
             & jnp.isfinite(psum(jnp.sum(dx * dx)))
             & jnp.isfinite(psum(jnp.sum(ds * ds)))
         )
-        numerr = ~step_finite | ~jnp.isfinite(gap)
+        stalled = quality > cfg.solve_quality_tol
+        numerr = ~step_finite | ~jnp.isfinite(gap) | stalled
 
         new_status = jnp.where(
             converged, Status.OPTIMAL,
@@ -386,12 +415,21 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
         def upd(old, delta):
             return jnp.where(freeze, old, old + alpha * delta)
 
+        hist = st.hist
+        if cfg.collect_history:
+            row = jnp.stack([pcost, dcost, gap, pres, dres,
+                             jnp.where(freeze, 0.0, alpha)])
+            hist = jnp.where(
+                st.done, hist, hist.at[st.k].set(row.astype(hist.dtype))
+            )
+
         return BlockState(
             x=upd(x, dx), y=upd(y, dy), s=upd(s, ds), z=upd(z, dz),
             k=jnp.where(freeze, st.k, st.k + 1),
             status=jnp.where(st.done, st.status, new_status),
             done=freeze,
             best_merit=best_merit, bx=bx, by=by, bs=bs, bz_=bz_,
+            hist=hist,
         )
 
     st = lax.while_loop(
@@ -405,6 +443,25 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
     restore = (status == Status.NUMERICAL_ERROR) | (
         status == Status.MAX_ITERATIONS
     )
+
+    # Relaxed exit certificates on the FINAL iterate (mirror of
+    # ipm/driver.py): the stall guard can fire before the strict in-loop
+    # certificate threshold; the final iterate has the strongest ray.
+    rxf, ryf, rzf = residuals(st.x, st.y, st.s, st.z)
+    hz_by_f = psum(jnp.sum(h * st.z)) + st.y @ b
+    pvec_f = rxf - c
+    if has_P:
+        pvec_f = pvec_f - jnp.einsum("kij,kj->ki", Pq, st.x)
+    pinf_exit = restore & (hz_by_f < 0) & (
+        gnorm(jnp.sum(pvec_f * pvec_f)) <= cfg.feastol_inacc * -hz_by_f
+    )
+    cx_f = psum(jnp.sum(c * st.x))
+    gx_s_f = rzf + h
+    dres_cert = jnp.maximum(
+        jnp.linalg.norm(ryf + b), gnorm(jnp.sum(gx_s_f * gx_s_f))
+    )
+    dinf_exit = restore & (cx_f < 0) & (dres_cert <= cfg.feastol_inacc * -cx_f)
+
     x = jnp.where(restore, st.bx, st.x)
     y = jnp.where(restore, st.by, st.y)
     s = jnp.where(restore, st.bs, st.s)
@@ -427,11 +484,26 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
         & (dres <= cfg.feastol_inacc)
         & ((gap <= cfg.abstol_inacc) | (relgap <= cfg.reltol_inacc))
     )
-    status = jnp.where(restore & inacc_ok, Status.OPTIMAL, status).astype(
-        jnp.int32
-    )
-    stats = jnp.stack([pcost, gap, pres, dres])
-    return x, y, s, z, status, st.k, stats
+    cert = ~inacc_ok & (pinf_exit | dinf_exit)
+    x = jnp.where(cert, st.x, x)
+    y = jnp.where(cert, st.y, y)
+    s = jnp.where(cert, st.s, s)
+    z = jnp.where(cert, st.z, z)
+    status = jnp.where(
+        restore & inacc_ok,
+        Status.OPTIMAL,
+        jnp.where(
+            pinf_exit & ~inacc_ok,
+            Status.PRIMAL_INFEASIBLE,
+            jnp.where(dinf_exit & ~inacc_ok & ~pinf_exit,
+                      Status.DUAL_INFEASIBLE, status),
+        ),
+    ).astype(jnp.int32)
+    inaccurate = restore & inacc_ok
+    # driver-parity stats layout (api.py Solution order)
+    stats = jnp.stack([pcost, dcost, gap, relgap, pres, dres,
+                       inaccurate.astype(pcost.dtype)])
+    return x, y, s, z, status, st.k, stats, st.hist
 
 
 @functools.lru_cache(maxsize=64)
@@ -445,10 +517,12 @@ def _compiled_block(layout: ConeLayout, cfg: SolverConfig, mesh: Mesh,
         fn,
         mesh=mesh,
         in_specs=(blk, blk, blk, blk, rep, blk if has_P else rep),
-        out_specs=(blk, rep, blk, blk, rep, rep, rep),
+        out_specs=(blk, rep, blk, blk, rep, rep, rep, rep),
         # collectives are elided on a 1-device mesh (see _core), which the
-        # varying-axes type check would reject; semantics are unaffected
-        check_vma=mesh.devices.size > 1,
+        # varying-axes type check would reject; with ring_schur the check
+        # also can't prove the ppermute-ring sum is replicated (it is: all
+        # devices hold the identical ndev-term total) — disable it there
+        check_vma=mesh.devices.size > 1 and not cfg.ring_schur,
     )
     return jax.jit(mapped)
 
@@ -462,7 +536,10 @@ def solve_block(
     """Solve a block SOCP with the Schur-distributed KKT over `mesh`.
 
     Returns (x (K,nb), y (p,), s, z in original block cone order, status,
-    iterations, stats=[pcost, gap, pres, dres]).
+    iterations, stats) with stats in the driver-parity layout
+    [pcost, dcost, gap, relgap, pres, dres, inaccurate_flag].  With
+    config.collect_history the per-iteration table is appended as an 8th
+    element (k, 6 array: pcost, dcost, gap, pres, dres, step).
     """
     from socp_tpu.api import default_dtype
     from socp_tpu.parallel.mesh import block_mesh
@@ -489,13 +566,16 @@ def solve_block(
     PD = put(prob.P if has_P else np.zeros((1,)), P(axis) if has_P else P())
 
     fn = _compiled_block(layout, config, mesh, axis, has_P)
-    x, y, s, z, status, k, stats = fn(cD, GD, hD, AD, bD, PD)
+    x, y, s, z, status, k, stats, hist = fn(cD, GD, hD, AD, bD, PD)
     s = layout.unpad_vec(np.asarray(s, np.float64))
     z = layout.unpad_vec(np.asarray(z, np.float64))
-    return (
+    out = (
         np.asarray(x, np.float64), np.asarray(y, np.float64), s, z,
         Status(int(status)), int(k), np.asarray(stats, np.float64),
     )
+    if config.collect_history:
+        out = out + (np.asarray(hist, np.float64)[: int(k)],)
+    return out
 
 
 def random_block_problem(seed: int, K: int = 16, nb: int = 8,

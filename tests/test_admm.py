@@ -42,3 +42,54 @@ def test_admm_sharded():
                           rho=1.0, outer_iters=40, tol=1e-5)
     assert res.inner_status_ok
     np.testing.assert_allclose(res.w_bar, res0.w_bar, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 faked devices")
+def test_admm_pod_mesh_2d():
+    """The 2-D scenario x blocks pod mesh: the scenario batch shards over
+    BOTH axes (hierarchical consensus all-reduce) and matches 1-device."""
+    from socp_tpu.parallel.runtime import pod_mesh
+
+    mesh = pod_mesh(scenario_size=2)            # (2, 4) on 8 fake devices
+    assert mesh.devices.shape == (2, 4)
+    c, G, h, dims, A, b, info = scenario_portfolio(2, n=10, k=3,
+                                                   n_scenarios=16)
+    res = admm_consensus(c, G, h, dims, n_consensus=info["n"], A=A, b=b,
+                         rho=1.0, outer_iters=30, tol=1e-5, mesh=mesh)
+    res0 = admm_consensus(c, G, h, dims, n_consensus=info["n"], A=A, b=b,
+                          rho=1.0, outer_iters=30, tol=1e-5)
+    assert res.inner_status_ok
+    np.testing.assert_allclose(res.w_bar, res0.w_bar, atol=1e-6)
+
+
+def test_admm_checkpoint_resume(tmp_path):
+    """Interrupt at round 4 via the snapshot, resume, and land on the same
+    answer as the uninterrupted run (checkpoint is start-of-round state)."""
+    from socp_tpu.utils.checkpoint import SolverCheckpoint
+
+    c, G, h, dims, A, b, info = scenario_portfolio(3, n=10, k=3,
+                                                   n_scenarios=4)
+    kw = dict(n_consensus=info["n"], A=A, b=b, rho=1.0, tol=0.0)
+    path = str(tmp_path / "admm_ck.npz")
+    full = admm_consensus(c, G, h, dims, outer_iters=8, **kw)
+    part = admm_consensus(c, G, h, dims, outer_iters=4,
+                          checkpoint_every=4, checkpoint_path=path, **kw)
+    ck = SolverCheckpoint.load(path)
+    assert ck.iteration == 4
+    resumed = admm_consensus(c, G, h, dims, outer_iters=8,
+                             resume_from=ck, **kw)
+    assert resumed.outer_iterations == 4          # rounds 4..7 only
+    np.testing.assert_allclose(resumed.w_bar, full.w_bar, rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_admm_adaptive_rho_converges():
+    """A deliberately bad initial rho must still converge via residual
+    balancing (and report the adapted value)."""
+    c, G, h, dims, A, b, info = scenario_portfolio(4, n=10, k=3,
+                                                   n_scenarios=4)
+    res = admm_consensus(c, G, h, dims, n_consensus=info["n"], A=A, b=b,
+                         rho=1e-3, outer_iters=60, tol=1e-5, adapt_rho=True)
+    assert res.inner_status_ok
+    assert res.primal_res <= 1e-5 and res.dual_res <= 1e-5
+    assert res.rho != 1e-3                        # it actually adapted

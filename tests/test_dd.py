@@ -90,6 +90,28 @@ def test_ozaki_chunked_contraction():
     assert err < 1e-12, err
 
 
+def test_ozaki_presliced_chunked():
+    """sliced_gram / sliced_matmul with contraction > MAX_CONTRACT: the
+    presliced KKT pipeline (kkt/dd_dense.py) must handle m_pad > 2048
+    (regression: these used to hard-assert m <= 2048)."""
+    from socp_tpu.ops.ozaki import preslice, sliced_gram, sliced_matmul
+
+    rng = np.random.default_rng(6)
+    m = 2600
+    M64 = rng.normal(size=(16, m)) * np.exp(rng.uniform(-3, 3, size=(16, 1)))
+    Ms = preslice(ddm.from_f64(jnp.asarray(M64)))
+    H = jax.jit(sliced_gram)(Ms)
+    refH = M64 @ M64.T
+    scale = np.outer(np.linalg.norm(M64, axis=1), np.linalg.norm(M64, axis=1))
+    assert np.max(np.abs(H.astype_f64() - refH) / scale) < 1e-12
+
+    x64 = rng.normal(size=(m, 3))
+    y = jax.jit(sliced_matmul)(Ms, ddm.from_f64(jnp.asarray(x64)))
+    refy = M64 @ x64
+    sc = np.abs(M64).max(1, keepdims=True) * np.abs(x64).max(0) * m
+    assert np.max(np.abs(y.astype_f64() - refy) / sc) < 1e-13
+
+
 def test_ozaki_matvec():
     rng = np.random.default_rng(5)
     A64 = rng.normal(size=(50, 80))

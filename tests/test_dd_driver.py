@@ -19,8 +19,10 @@ def test_dd_driver_matches_f64_robust_ls():
     rdd = solve(prob, config=SolverConfig(native_dd=True))
     assert rdd.status.name == "OPTIMAL"
     assert rdd.gap <= 1e-8 or rdd.relgap <= 1e-8
-    assert abs(rdd.pcost - r64.pcost) <= 1e-7 * max(1.0, abs(r64.pcost))
-    np.testing.assert_allclose(rdd.x, r64.x, atol=5e-6)
+    # dd exit now returns hi+lo summed in f64 (sub-f32-ulp accuracy), so the
+    # two drivers must agree far below the old ~6e-8 f32 rounding floor.
+    assert abs(rdd.pcost - r64.pcost) <= 1e-9 * max(1.0, abs(r64.pcost))
+    np.testing.assert_allclose(rdd.x, r64.x, atol=2e-9)
 
 
 def test_dd_driver_portfolio_with_equalities():
@@ -28,4 +30,7 @@ def test_dd_driver_portfolio_with_equalities():
     r64 = solve(prob)
     rdd = solve(prob, config=SolverConfig(native_dd=True))
     assert rdd.status.name == "OPTIMAL"
-    assert abs(rdd.pcost - r64.pcost) <= 1e-7 * max(1.0, abs(r64.pcost))
+    # both drivers certify 1e-8 gaps but along slightly different dd/f64
+    # trajectories, so agreement is gap-grade (1e-8), not exit-precision
+    assert abs(rdd.pcost - r64.pcost) <= 2e-8 * max(1.0, abs(r64.pcost))
+    np.testing.assert_allclose(rdd.x, r64.x, atol=1e-7)

@@ -63,6 +63,26 @@ def test_rank_deficient_G_with_A():
 def test_statuses():
     assert socp_tpu.solve(primal_infeasible_lp(0)).status_name == "primal_infeasible"
     assert socp_tpu.solve(dual_infeasible_lp(0)).status_name == "dual_infeasible"
+
+
+def test_statuses_soc_geometry():
+    """Farkas certificates through CONE geometry (the dual ray lives on the
+    SOC boundary), not just crossed orthant halfspaces."""
+    from socp_tpu.models.random_socp import (dual_infeasible_soc,
+                                             primal_infeasible_soc)
+
+    for seed in (0, 1):
+        r = socp_tpu.solve(primal_infeasible_soc(seed))
+        assert r.status_name == "primal_infeasible"
+    r = socp_tpu.solve(dual_infeasible_soc(0))
+    assert r.status_name == "dual_infeasible"
+    # the dd-native driver detects the same certificates
+    rdd = socp_tpu.solve(primal_infeasible_soc(0),
+                         config=SolverConfig(native_dd=True))
+    assert rdd.status_name == "primal_infeasible"
+    rdd = socp_tpu.solve(dual_infeasible_soc(0),
+                         config=SolverConfig(native_dd=True))
+    assert rdd.status_name == "dual_infeasible"
     prob, _ = random_socp(0, n=30, l=8, qs=(4, 6, 10), p=5)
     r = socp_tpu.solve(prob, config=SolverConfig(max_iter=2))
     assert r.status_name == "max_iterations"

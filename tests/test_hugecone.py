@@ -1,0 +1,81 @@
+"""One huge SOC sharded across the mesh (SURVEY.md section 5 long-context
+plan (a)): the sharded cone kernels + tall-skinny Gram KKT must match the
+single-device dense solver on the same problem."""
+
+import numpy as np
+import jax
+import pytest
+
+import socp_tpu
+from socp_tpu import SolverConfig
+from socp_tpu.parallel.hugecone import solve_huge_soc
+from socp_tpu.parallel.mesh import block_mesh
+from socp_tpu.problem import ConeDims, SocpProblem
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 faked devices"
+)
+
+
+def _huge_soc_problem(seed, n=12, l=6, q=41):
+    """Feasible bounded problem with one big SOC: min c'x with
+    ||B x - d|| <= t constraints encoded as (t-row; rows) plus box."""
+    rng = np.random.default_rng(seed)
+    m = l + q
+    G = np.zeros((m, n))
+    h = np.zeros(m)
+    # orthant: box |x_i| <= 2 on the first l/2 coords (x <= 2 and -x <= 2)
+    for i in range(l // 2):
+        G[2 * i, i] = 1.0
+        G[2 * i + 1, i] = -1.0
+        h[2 * i] = 2.0
+        h[2 * i + 1] = 2.0
+    # SOC: ||B x - d|| <= a'x + b
+    a = rng.normal(size=n) * 0.1
+    B = rng.normal(size=(q - 1, n)) / np.sqrt(n)
+    d = rng.normal(size=q - 1) * 0.1
+    G[l] = -a
+    h[l] = 5.0
+    G[l + 1:] = -B
+    h[l + 1:] = -d
+    c = rng.normal(size=n)
+    dims = ConeDims(l=l, qs=(q,))
+    return SocpProblem(c=c, G=G, h=h, dims=dims), l, q
+
+
+def test_hugecone_matches_dense_single_device():
+    prob, l, q = _huge_soc_problem(0)
+    mesh = block_mesh(1)
+    x, s, z, status, k, stats = solve_huge_soc(
+        prob.c, prob.G, prob.h, l, mesh=mesh
+    )
+    ref = socp_tpu.solve(prob)
+    assert ref.status_name == "optimal"
+    assert status.name == "OPTIMAL"
+    assert abs(stats[0] - ref.pcost) <= 1e-6 * max(1.0, abs(ref.pcost))
+    np.testing.assert_allclose(x, ref.x, atol=1e-6)
+    # returned s is feasible for the original cones
+    from socp_tpu.utils import oracle
+
+    assert oracle.lambda_min(prob.dims, s) > -1e-9
+
+
+@requires_multidevice
+def test_hugecone_sharded_matches_single():
+    """The SAME huge cone split over 8 devices: sharded arrow products,
+    psum-reduced dots, tall-skinny Gram — equals the 1-device answer."""
+    prob, l, q = _huge_soc_problem(1, n=10, l=8, q=57)
+    out1 = solve_huge_soc(prob.c, prob.G, prob.h, l, mesh=block_mesh(1))
+    out8 = solve_huge_soc(prob.c, prob.G, prob.h, l, mesh=block_mesh(8))
+    assert out1[3].name == out8[3].name == "OPTIMAL"
+    np.testing.assert_allclose(out8[0], out1[0], atol=1e-7)
+    np.testing.assert_allclose(out8[5][:2], out1[5][:2], rtol=1e-7, atol=1e-9)
+
+
+@requires_multidevice
+def test_hugecone_pure_soc_no_orthant():
+    prob, l, q = _huge_soc_problem(2, n=8, l=0, q=33)
+    out8 = solve_huge_soc(prob.c, prob.G, prob.h, 0, mesh=block_mesh(8))
+    ref = socp_tpu.solve(prob)
+    assert out8[3].name == "OPTIMAL" and ref.status_name == "optimal"
+    assert abs(out8[5][0] - ref.pcost) <= 1e-6 * max(1.0, abs(ref.pcost))

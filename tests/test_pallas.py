@@ -50,6 +50,21 @@ def test_pallas_chol_dd():
     assert err < 1e-9
 
 
+def test_pallas_integrated_dd_solve():
+    """End-to-end: the dd driver with use_pallas=True (VMEM-resident KKT
+    back-solves) must agree with the XLA-substitution path.  Interpret mode
+    on CPU; the same dispatch compiles on TPU (scripts/pallas_bench.py)."""
+    from socp_tpu import SolverConfig, solve
+    from socp_tpu.models.robust_ls import robust_ls
+
+    prob, _ = robust_ls(0, n=10)
+    ref = solve(prob, config=SolverConfig(native_dd=True, use_pallas=False))
+    rp = solve(prob, config=SolverConfig(native_dd=True, use_pallas=True))
+    assert rp.status.name == "OPTIMAL"
+    assert abs(rp.pcost - ref.pcost) <= 1e-8 * max(1.0, abs(ref.pcost))
+    np.testing.assert_allclose(rp.x, ref.x, atol=1e-7)
+
+
 def test_pallas_tri_pair_solve():
     rng = np.random.default_rng(3)
     n = 24
