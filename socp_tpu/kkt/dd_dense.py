@@ -77,9 +77,13 @@ def _dd_eq_chol(M: DD, delta: float, pallas: bool = False) -> DDEqChol:
     if delta:
         eye = jnp.eye(n, dtype=jnp.float32)
         Mn = ddm.add(Mn, ddm.from_f32(jnp.float32(delta) * eye))
+    if pallas and n > 0:
+        from socp_tpu.ops.pallas_chol import cholesky_dd
+
+        L = cholesky_dd(Mn)
+        return DDEqCholPallas(L=L, d=d, LT=L.T)
     L = dd_cholesky_blocked(Mn)
-    cls = DDEqCholPallas if (pallas and n > 0) else DDEqChol
-    return cls(L=L, d=d, LT=L.T)
+    return DDEqChol(L=L, d=d, LT=L.T)
 
 
 class DDKKT(NamedTuple):
@@ -207,10 +211,36 @@ def factor_dd(
     Ghat = dd_ops.scale_rows_Winv(layout, scaling, G)
     GhatT_s = preslice(Ghat.T)
     Ghat_s = preslice(Ghat)
-    H = sliced_gram(GhatT_s)
-    if Paug is not None:
-        H = ddm.add(H, Paug)
-    L_H = _dd_eq_chol(H, delta, pallas=pallas)
+    if Paug is None:
+        # Jacobi equilibration folded into the Gram's scale restore
+        # (saves two full dd (n, n) muls per factor): d = power-of-two
+        # nearest rsqrt(diag H), so both dd words scale EXACTLY and the
+        # equilibrated diagonal lands within 2x of 1.  diag H needs only
+        # the f32 hi words — equilibration is a heuristic scaling, and
+        # delta_reg tolerates the 2x slack.
+        diag_hi = jnp.sum(Ghat.hi * Ghat.hi, axis=0)           # (n,)
+        tiny = jnp.float32(2.0 ** -80)
+        safe = jnp.maximum(diag_hi, tiny)
+        ev = jnp.round(-0.5 * jnp.log2(safe)).astype(jnp.int32)
+        d32 = jnp.where(diag_hi > tiny,
+                        jnp.ldexp(jnp.ones_like(safe), ev),
+                        jnp.ones_like(safe))
+        Hn = sliced_gram(GhatT_s, row_scale=d32)
+        if delta:
+            n_ = Hn.hi.shape[-1]
+            eye = jnp.eye(n_, dtype=jnp.float32)
+            Hn = ddm.add(Hn, ddm.from_f32(jnp.float32(delta) * eye))
+        if pallas:
+            from socp_tpu.ops.pallas_chol import cholesky_dd
+
+            L = cholesky_dd(Hn)      # VMEM-resident; ~2x the XLA blocked
+            L_H = DDEqCholPallas(L=L, d=ddm.from_f32(d32), LT=L.T)
+        else:
+            L = dd_cholesky_blocked(Hn)
+            L_H = DDEqChol(L=L, d=ddm.from_f32(d32), LT=L.T)
+    else:
+        H = ddm.add(sliced_gram(GhatT_s), Paug)
+        L_H = _dd_eq_chol(H, delta, pallas=pallas)
     if p:
         HinvAT = L_H.solve(A.T)
         S = _dd_mm(A, HinvAT)

@@ -63,15 +63,34 @@ def _pow2_colscale(x: DD, axis: int) -> jax.Array:
 
 def _slices(x: DD, scale: jax.Array) -> jax.Array:
     """Peel N_SLICES 7-bit slices from x/scale.  Returns bf16 (T, *x.shape);
-    slice t carries the value S_t * 2^(-6-7t) * scale."""
+    slice t carries the value S_t * 2^(-6-7t) * scale.
+
+    Two-stage peel: the hi word's 24-bit mantissa fits entirely in the
+    first four 7-bit slices, so those peel with PURE f32 subtractions
+    (r - q is exact: q is r rounded to a coarser aligned grid, so the
+    difference is r's own low-order bits — <= 24 of them).  The lo word
+    then merges via one two_sum and feeds the last three slices the same
+    way.  Replaces seven full dd subtractions (~12 ops each) with six
+    3-op f32 peels + one two_sum — the peel is the memory/op-bound part
+    of the Ozaki scheme (accuracy unchanged: residual error ~2^-65 of the
+    scale enters only the final slice)."""
     inv = 1.0 / scale                      # power of two: exact
-    r = DD(x.hi * inv, x.lo * inv)        # exact scaling
     out = []
-    for t in range(N_SLICES):
+    r = x.hi * inv                         # exact scaling
+    for t in range(4):
         sc = jnp.float32(2.0 ** (6 + _W * t))
-        q = jnp.round(r.hi * sc) / sc      # integer/2^(6+7t): exact in f32
+        q = jnp.round(r * sc) / sc         # integer/2^(6+7t): exact in f32
         out.append((q * sc).astype(_slice_dtype()))  # integer <= ~65: exact
-        r = ddm.sub(r, DD(q, jnp.zeros_like(q)))
+        r = r - q                          # exact (aligned leading bits)
+    s, e = ddm.two_sum(r, x.lo * inv)      # bring in the lo word exactly
+    for t in range(4, N_SLICES - 1):
+        sc = jnp.float32(2.0 ** (6 + _W * t))
+        q = jnp.round(s * sc) / sc
+        out.append((q * sc).astype(_slice_dtype()))
+        s = s - q                          # exact
+    sc = jnp.float32(2.0 ** (6 + _W * (N_SLICES - 1)))
+    q = jnp.round((s + e) * sc) / sc       # e re-enters below 2^-48*scale
+    out.append((q * sc).astype(_slice_dtype()))
     return jnp.stack(out)
 
 
@@ -190,7 +209,7 @@ def sliced_matmul(A: SlicedMat, b: DD) -> DD:
     return DD(acc.hi * s, acc.lo * s)
 
 
-def sliced_gram(A: SlicedMat) -> DD:
+def sliced_gram(A: SlicedMat, row_scale: jax.Array | None = None) -> DD:
     """C = M @ M.T for a presliced M (p, m) — both operand sides reuse M's
     slices (the b-side slices are just their transposes, with the same
     power-of-two scales), so the Gram costs ZERO extra slicing passes.
@@ -198,6 +217,11 @@ def sliced_gram(A: SlicedMat) -> DD:
     over the full matrix); the KKT factor already preslices W^-1 G for the
     back-solves, making its Gram slicing entirely free.  Contractions
     beyond MAX_CONTRACT are chunked like sliced_matmul.
+
+    `row_scale` (p,): optional POWER-OF-TWO per-row factors folded into the
+    scale restore, returning diag(r) C diag(r) for free — the Jacobi
+    equilibration of the KKT factor rides the multiply that was already
+    there (must be powers of two so both dd words scale exactly).
     """
     m = A.S.shape[2]
     acc = _chunked_diagonals(
@@ -208,7 +232,10 @@ def sliced_gram(A: SlicedMat) -> DD:
             preferred_element_type=jnp.float32,
         )
     )
-    s = A.scale * A.scale.reshape(1, -1)     # (p, p)
+    sc = A.scale
+    if row_scale is not None:
+        sc = sc * row_scale.reshape(-1, 1)
+    s = sc * sc.reshape(1, -1)               # (p, p)
     return DD(acc.hi * s, acc.lo * s)
 
 

@@ -90,28 +90,31 @@ def cholesky_f32(H: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _f32_tri_kernel(l_ref, lt_ref, b_ref, x_ref):
+    """Each step reads ONE row of the factor via a dynamic ref slice
+    (pl.ds lowers to address arithmetic — O(n) traffic per step), not a
+    masked extraction from the full matrix (O(n^2) per step, the cost
+    driver of the first kernel version).  The forward pass reads rows of
+    LT (= columns of L, contiguous); the backward pass reads rows of L
+    (= columns of L')."""
     n = l_ref.shape[0]
-    L = l_ref[...]
-    LT = lt_ref[...]
     iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    def substitute(M, B, j, below):
-        sel = jnp.where(iota.T == j, jnp.float32(1.0), jnp.float32(0.0))
-        col = jnp.sum(M * sel, axis=1, keepdims=True)           # (n, 1)
-        piv = jnp.sum(col * sel.T)                              # scalar
-        bj = jnp.sum(B * sel.T, axis=0, keepdims=True)          # (1, k)
+    def substitute(m_ref, B, j, below):
+        col = m_ref[pl.ds(j, 1), :].T                           # (n, 1)
+        sel = jnp.where(iota == j, jnp.float32(1.0), jnp.float32(0.0))
+        piv = jnp.sum(col * sel)                                # scalar
+        bj = jnp.sum(B * sel, axis=0, keepdims=True)            # (1, k)
         xj = bj / piv
-        is_j = iota == j
-        B = jnp.where(is_j, xj, B)
+        B = jnp.where(iota == j, xj, B)
         mask = (iota > j) if below else (iota < j)
         coef = jnp.where(mask, col, jnp.float32(0.0))
         return B - coef * xj
 
     def fwd(j, B):
-        return substitute(L, B, j, below=True)
+        return substitute(lt_ref, B, j, below=True)
 
     def bwd(t, B):
-        return substitute(LT, B, _i32(n - 1) - t, below=False)
+        return substitute(l_ref, B, _i32(n - 1) - t, below=False)
 
     B = lax.fori_loop(_i32(0), _i32(n), fwd, b_ref[...])
     B = lax.fori_loop(_i32(0), _i32(n), bwd, B)
@@ -197,22 +200,23 @@ def cholesky_dd(H: DD) -> DD:
 def _tri_pair_kernel(lhi_ref, llo_ref, lthi_ref, ltlo_ref,
                      bhi_ref, blo_ref, xhi_ref, xlo_ref):
     """(L L')^-1 B for one (n, n) dd factor and (n, k) dd rhs, fully
-    VMEM-resident.  The backward pass reads columns of L' from the
-    separately passed LT operand (no in-kernel transposes)."""
+    VMEM-resident.  Each step reads ONE row of the factor via a dynamic
+    ref slice (O(n) traffic; see _f32_tri_kernel) — the forward pass rows
+    of LT (= columns of L), the backward pass rows of L (= columns of
+    L')."""
     n = lhi_ref.shape[0]
-    L_hi, L_lo = lhi_ref[...], llo_ref[...]
-    LT_hi, LT_lo = lthi_ref[...], ltlo_ref[...]
     iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     zero = jnp.float32(0.0)
 
-    def substitute(Mhi, Mlo, carry_hi, carry_lo, j, below):
-        sel = jnp.where(iota.T == j, jnp.float32(1.0), zero)    # (1, n)
-        col = _select_col(Mhi, Mlo, sel)
+    def substitute(mhi_ref, mlo_ref, carry_hi, carry_lo, j, below):
+        col = DD(mhi_ref[pl.ds(j, 1), :].T,
+                 mlo_ref[pl.ds(j, 1), :].T)                     # (n, 1)
+        sel = jnp.where(iota == j, jnp.float32(1.0), zero)      # (n, 1)
         B = DD(carry_hi, carry_lo)
-        piv = DD(jnp.sum(col.hi * sel.T, keepdims=True),
-                 jnp.sum(col.lo * sel.T, keepdims=True))        # (1, 1)
-        bj = DD(jnp.sum(B.hi * sel.T, axis=0, keepdims=True),
-                jnp.sum(B.lo * sel.T, axis=0, keepdims=True))   # (1, k)
+        piv = DD(jnp.sum(col.hi * sel, keepdims=True),
+                 jnp.sum(col.lo * sel, keepdims=True))          # (1, 1)
+        bj = DD(jnp.sum(B.hi * sel, axis=0, keepdims=True),
+                jnp.sum(B.lo * sel, axis=0, keepdims=True))     # (1, k)
         xj = ddm.div(bj, piv)                                   # (1, k)
         is_j = iota == j
         B = ddm.where(is_j,
@@ -225,11 +229,12 @@ def _tri_pair_kernel(lhi_ref, llo_ref, lthi_ref, ltlo_ref,
         return B.hi, B.lo
 
     def fwd(j, carry):
-        return substitute(L_hi, L_lo, carry[0], carry[1], j, below=True)
+        return substitute(lthi_ref, ltlo_ref, carry[0], carry[1], j,
+                          below=True)
 
     def bwd(t, carry):
-        return substitute(LT_hi, LT_lo, carry[0], carry[1], _i32(n - 1) - t,
-                          below=False)
+        return substitute(lhi_ref, llo_ref, carry[0], carry[1],
+                          _i32(n - 1) - t, below=False)
 
     hi, lo = lax.fori_loop(_i32(0), _i32(n), fwd, (bhi_ref[...], blo_ref[...]))
     hi, lo = lax.fori_loop(_i32(0), _i32(n), bwd, (hi, lo))
