@@ -127,7 +127,9 @@ def main():
         from socp_tpu.parallel.mesh import block_mesh
         from socp_tpu.problem import ConeDims
 
-        K = 8192 if full else 512
+        # full: 10240 blocks x 10 vars = 102,400 vars / 20,480 cones
+        # (BASELINE contract: 100k vars, 10k cones)
+        K = 10240 if full else 512
         prob, pcost = random_block_problem(
             0, K=K, nb=10, p=8,
             block_dims=ConeDims(l=4, qs=(6,)),
@@ -152,7 +154,7 @@ def main():
         from socp_tpu.models.stochastic import scenario_portfolio
         from socp_tpu.parallel.admm import admm_consensus
 
-        S = 4096 if full else 256
+        S = 16384 if full else 256
         c, G, h, dims, A, b, info = scenario_portfolio(0, n=20, n_scenarios=S)
         admm_consensus(c, G, h, dims, info["n"], A=A, b=b, rho=1.0,
                        outer_iters=1, config=cfg)      # warm the jit cache

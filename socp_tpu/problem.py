@@ -67,9 +67,20 @@ class SocpProblem:
     P: Optional[np.ndarray] = None
 
     def __post_init__(self):
+        # Accept scipy.sparse matrices for G/A/P (the norm in the Julia
+        # reference's ecosystem) by densifying: TPU KKT pipelines are dense
+        # (MXU) / block-dense (parallel.schur), so sparsity is exploited
+        # structurally (blocks, cones), not via scalar sparse storage.
+        def _dense(a):
+            return a.toarray() if hasattr(a, "toarray") else a
+
         self.c = np.asarray(self.c, dtype=np.float64)
-        self.G = np.asarray(self.G, dtype=np.float64)
+        self.G = np.asarray(_dense(self.G), dtype=np.float64)
         self.h = np.asarray(self.h, dtype=np.float64)
+        if self.A is not None:
+            self.A = _dense(self.A)
+        if self.P is not None:
+            self.P = _dense(self.P)
         n = self.c.shape[0]
         if self.G.shape != (self.dims.dim, n):
             raise ValueError(

@@ -129,6 +129,20 @@ def test_f32_with_refinement_reaches_1e6():
     assert abs(rj.pcost - sol.pcost) <= 1e-4 * max(1.0, abs(sol.pcost))
 
 
+def test_sparse_inputs_accepted():
+    """scipy.sparse G/A/P densify transparently (Julia-ecosystem parity)."""
+    import scipy.sparse as sp
+
+    prob, sol = random_socp(8, n=20, l=6, qs=(5, 7), p=4)
+    sp_prob = type(prob)(
+        c=prob.c, G=sp.csr_matrix(prob.G), h=prob.h, dims=prob.dims,
+        A=sp.csc_matrix(prob.A), b=prob.b,
+    )
+    r = socp_tpu.solve(sp_prob)
+    assert r.status_name == "optimal"
+    assert abs(r.pcost - sol.pcost) <= 1e-6 * max(1.0, abs(sol.pcost))
+
+
 def test_returned_cone_order_unpadded():
     """s, z come back in the user's original cone order with s in K."""
     prob, _ = random_socp(5, n=30, l=8, qs=(4, 6, 10), p=5)
