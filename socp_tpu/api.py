@@ -30,18 +30,25 @@ def default_dtype():
 
 @functools.lru_cache(maxsize=256)
 def _compiled(layout: ConeLayout, cfg: SolverConfig, has_P: bool, batched: bool,
-              batch_A: bool, batch_P: bool):
+              batch_A: bool, batch_P: bool, has_warm: bool = False):
     if cfg.native_dd:
         from socp_tpu.ipm import dd_driver
 
-        core = functools.partial(
+        base = functools.partial(
             dd_driver.solve_core_dd, layout, cfg, has_P=has_P
         )
     else:
-        core = functools.partial(driver.solve_core, layout, cfg, has_P=has_P)
+        base = functools.partial(driver.solve_core, layout, cfg, has_P=has_P)
+    if has_warm:
+        def core(c, G, h, A, b, P, w):
+            return base(c, G, h, A, b, P, warm=w)
+    else:
+        core = base
     if batched:
         in_axes = (0, 0, 0, 0 if batch_A else None, 0 if batch_A else None,
                    0 if batch_P else None)
+        if has_warm:
+            in_axes = in_axes + (0,)        # warm tuple batched per instance
         core = jax.vmap(core, in_axes=in_axes)
     return jax.jit(core)
 
@@ -80,8 +87,14 @@ def solve(
     config: SolverConfig = DEFAULT_CONFIG,
     dtype=None,
     verbose: Optional[bool] = None,
+    warm: Optional[tuple] = None,
 ) -> Solution:
-    """Solve one SOCP (optionally with quadratic objective P)."""
+    """Solve one SOCP (optionally with quadratic objective P).
+
+    `warm`: optional (x, y, s, z) starting point in the ORIGINAL (unpadded)
+    cone order — e.g. a previous Solution's fields after a small problem
+    change.  s and z are recentered by config.warm_push (see config.py).
+    """
     if verbose is not None and verbose != config.verbose:
         config = SolverConfig(**{**config.__dict__, "verbose": verbose})
     config = _resolve_pallas(config, prob.n)
@@ -96,8 +109,17 @@ def solve(
     P = jnp.asarray(prob.P if has_P else np.zeros((0, 0)), dtype)
 
     fn = _compiled(layout, config, has_P, batched=False, batch_A=False,
-                   batch_P=False)
-    x, y, s, z, status, k, stats, hist = fn(c, Gp, hp, A, b, P)
+                   batch_P=False, has_warm=warm is not None)
+    if warm is not None:
+        xw, yw, sw, zw = warm
+        wtup = (
+            jnp.asarray(xw, dtype), jnp.asarray(yw, dtype),
+            jnp.asarray(layout.pad_vec(np.asarray(sw)), dtype),
+            jnp.asarray(layout.pad_vec(np.asarray(zw)), dtype),
+        )
+        x, y, s, z, status, k, stats, hist = fn(c, Gp, hp, A, b, P, wtup)
+    else:
+        x, y, s, z, status, k, stats, hist = fn(c, Gp, hp, A, b, P)
     stats = np.asarray(stats, np.float64)
     return Solution(
         history=(np.asarray(hist, np.float64)[: int(k)]
@@ -157,12 +179,17 @@ def solve_batch(
 def prepare_batch(
     c, G, h, dims: ConeDims, A=None, b=None, P=None,
     config: SolverConfig = DEFAULT_CONFIG, dtype=None,
+    has_warm: bool = False,
 ):
     """Device-resident batched solve: returns `(fn, args, layout)` with all
     problem data padded and placed on device once.  `fn(*args)` runs the
     jitted lockstep IPM with zero host->device traffic — the benchmarking /
     power-user path (repeated solves of the same instances, e.g. warm-up vs
-    steady-state timing, measure solver throughput rather than PCIe)."""
+    steady-state timing, measure solver throughput rather than PCIe).
+
+    `has_warm=True` compiles a variant taking one extra argument: a
+    (x, y, s, z) tuple of per-instance PADDED warm starts (e.g. the raw
+    outputs of a previous `fn(*args)` call) — `fn(*args, warm_tuple)`."""
     B, n = np.shape(c)
     config = _resolve_pallas(config, n, batch=B)
     dtype = dtype or default_dtype()
@@ -178,7 +205,7 @@ def prepare_batch(
     Gp = jnp.asarray(layout.pad_rows(np.asarray(G)), dtype)
     hp = jnp.asarray(layout.pad_vec(np.asarray(h)), dtype)
     fn = _compiled(layout, config, has_P, batched=True, batch_A=batch_A,
-                   batch_P=batch_P)
+                   batch_P=batch_P, has_warm=has_warm)
     args = (jnp.asarray(c, dtype), Gp, hp, jnp.asarray(A, dtype),
             jnp.asarray(b, dtype), jnp.asarray(P, dtype))
     return fn, args, layout

@@ -90,6 +90,12 @@ class SolverConfig:
     # ICI hops; SURVEY.md 7.3.5).  Equivalent numerics up to reassociation;
     # opt-in until pod-scale measurements exist.
     ring_schur: bool = False
+    # Warm-start recentering: a supplied (x, y, s, z) start has its s and z
+    # lifted along the cone identity until their smallest Jordan eigenvalue
+    # is >= warm_push * sqrt(mu_w) (mu_w = s'z/nu of the warm point).  A
+    # warm point ON the boundary destroys the NT scaling; this slight
+    # recentering is the standard remedy that makes IPM warm starts usable.
+    warm_push: float = 0.1
     # Record the per-iteration table [pcost, dcost, gap, pres, dres, step]
     # into Solution.history (a (max_iter, 6) array; rows beyond the final
     # iteration stay zero).  Off by default: it adds a small carry.

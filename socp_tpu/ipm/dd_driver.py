@@ -74,11 +74,19 @@ def solve_core_dd(
     b64: jax.Array,
     P64: jax.Array,
     has_P: bool = False,
+    warm: tuple | None = None,
 ):
     """dd-native solve of one padded SOCP; f64/f32 inputs, f32 outputs.
 
     Returns (x, y, s, z, status, iterations, stats) with the same layout as
     driver.solve_core (arrays in f32).
+
+    `warm`: optional (x, y, s, z) start (padded, f32/f64).  Skips the two
+    W=I least-squares init solves; s and z are shifted along the cone
+    identity so their Jordan eigenvalues are at least
+    cfg.warm_push * sqrt(mu_w) — a cold-blooded warm point sitting ON the
+    boundary destroys the NT scaling, so re-centering slightly is what
+    makes IPM warm starts usable (the standard remedy).
     """
     n = c64.shape[0]
     p = A64.shape[0]
@@ -161,20 +169,33 @@ def solve_core_dd(
             aug_rho=aug_rho,
         )
 
-    # ---- init: W = I solves + interior shift
-    sc0 = dd_ops.identity_scaling(layout)
-    zero_n = ddm.from_f32(jnp.zeros((n,), jnp.float32))
-    zero_p = ddm.from_f32(jnp.zeros((p,), jnp.float32))
-    zero_m = ddm.from_f32(jnp.zeros((m,), jnp.float32))
-    kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg,
-                              pallas=bool(cfg.use_pallas))
-    x0, _, z0, _ = refined(kkt0, zero_n, b, h)
-    shat = z0.neg()
-    ap = -dd_ops.lambda_min(layout, shat)
-    s0 = ddm.where(ap < 0, shat, _axpy(shat, 1.0 + ap, e))
-    _, y0, zhat, _ = refined(kkt0, c.neg(), zero_p, zero_m)
-    ad = -dd_ops.lambda_min(layout, zhat)
-    z0 = ddm.where(ad < 0, zhat, _axpy(zhat, 1.0 + ad, e))
+    # ---- init: warm start (shifted user point) or W = I solves + shift
+    if warm is not None:
+        xw, yw, sw, zw = (to_dd(w) for w in warm)
+        x0, y0 = xw, yw
+        mu_w = jnp.maximum(dd_ops.dd_dot(sw, zw, axis=0).hi / nu, 1e-10)
+        margin = jnp.float32(cfg.warm_push) * jnp.sqrt(mu_w)
+
+        def recenter(v: DD) -> DD:
+            lift = jnp.maximum(margin - dd_ops.lambda_min(layout, v), 0.0)
+            return _axpy(v, lift, e)
+
+        s0 = recenter(sw)
+        z0 = recenter(zw)
+    else:
+        sc0 = dd_ops.identity_scaling(layout)
+        zero_n = ddm.from_f32(jnp.zeros((n,), jnp.float32))
+        zero_p = ddm.from_f32(jnp.zeros((p,), jnp.float32))
+        zero_m = ddm.from_f32(jnp.zeros((m,), jnp.float32))
+        kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg,
+                                  pallas=bool(cfg.use_pallas))
+        x0, _, z0, _ = refined(kkt0, zero_n, b, h)
+        shat = z0.neg()
+        ap = -dd_ops.lambda_min(layout, shat)
+        s0 = ddm.where(ap < 0, shat, _axpy(shat, 1.0 + ap, e))
+        _, y0, zhat, _ = refined(kkt0, c.neg(), zero_p, zero_m)
+        ad = -dd_ops.lambda_min(layout, zhat)
+        z0 = ddm.where(ad < 0, zhat, _axpy(zhat, 1.0 + ad, e))
 
     n_hist = cfg.max_iter if cfg.collect_history else 0
     st0 = DDIPMState(

@@ -64,8 +64,12 @@ def solve_core(
     b: jax.Array,
     P: jax.Array,          # (n, n); pass zeros(0,0) when has_P=False
     has_P: bool = False,
+    warm: tuple | None = None,
 ):
     """Solve one (padded) SOCP.  All args device arrays; layout/cfg static.
+
+    `warm`: optional (x, y, s, z) start — skips the W=I init solves and
+    recenters s, z by cfg.warm_push (see ipm/dd_driver.py).
 
     Returns (x, y, s, z, status, iterations, stats_vector) with stats =
     [pcost, dcost, gap, relgap, pres, dres, inaccurate_flag].
@@ -122,19 +126,27 @@ def solve_core(
             aug_rho=aug_rho,
         )
 
-    # ---- initialization: W = I least-squares KKT solves + interior shift
-    sc0 = cops.identity_scaling(layout, dtype)
-    kkt0 = dense.factor(layout, sc0, Paug, A, G, cfg.delta_reg,
-                        factor_dtype=cfg.factor_dtype)
-    x0, _, z0, _ = refined(kkt0, jnp.zeros((n,), dtype), b, h)
-    shat = -z0
-    ap = -cops.lambda_min(layout, shat)
-    s0 = jnp.where(ap < 0, shat, shat + (1.0 + ap) * e)
-    _, y0, zhat, _ = refined(
-        kkt0, -c, jnp.zeros((p,), dtype), jnp.zeros((m,), dtype)
-    )
-    ad = -cops.lambda_min(layout, zhat)
-    z0 = jnp.where(ad < 0, zhat, zhat + (1.0 + ad) * e)
+    # ---- initialization: warm start or W = I least-squares solves + shift
+    if warm is not None:
+        xw, yw, sw, zw = (jnp.asarray(w, dtype) for w in warm)
+        x0, y0 = xw, yw
+        mu_w = jnp.maximum(sw @ zw / nu, 1e-12)
+        margin = jnp.asarray(cfg.warm_push, dtype) * jnp.sqrt(mu_w)
+        s0 = sw + jnp.maximum(margin - cops.lambda_min(layout, sw), 0.0) * e
+        z0 = zw + jnp.maximum(margin - cops.lambda_min(layout, zw), 0.0) * e
+    else:
+        sc0 = cops.identity_scaling(layout, dtype)
+        kkt0 = dense.factor(layout, sc0, Paug, A, G, cfg.delta_reg,
+                            factor_dtype=cfg.factor_dtype)
+        x0, _, z0, _ = refined(kkt0, jnp.zeros((n,), dtype), b, h)
+        shat = -z0
+        ap = -cops.lambda_min(layout, shat)
+        s0 = jnp.where(ap < 0, shat, shat + (1.0 + ap) * e)
+        _, y0, zhat, _ = refined(
+            kkt0, -c, jnp.zeros((p,), dtype), jnp.zeros((m,), dtype)
+        )
+        ad = -cops.lambda_min(layout, zhat)
+        z0 = jnp.where(ad < 0, zhat, zhat + (1.0 + ad) * e)
 
     n_hist = cfg.max_iter if cfg.collect_history else 0
     st0 = IPMState(

@@ -58,6 +58,57 @@ class ADMMResult:
     rho: float = 1.0           # final penalty (after adaptation)
 
 
+@functools.lru_cache(maxsize=32)
+def _round_fn(layout, config: SolverConfig, S: int, n: int, nc: int,
+              alpha: float, batch_A: bool, dtype_name: str):
+    """Build (and cache) the jitted one-round function: inner vmapped IPM +
+    consensus all-reduce + dual update, all in one program.  Cached at
+    module level so repeated admm_consensus calls with the same problem
+    shape reuse the compiled executable."""
+    import jax
+    import jax.numpy as jnp
+
+    from socp_tpu.ipm import dd_driver, driver
+
+    dtype = jnp.dtype(dtype_name)
+    if config.native_dd:
+        core1 = functools.partial(dd_driver.solve_core_dd, layout, config,
+                                  has_P=True)
+    else:
+        core1 = functools.partial(driver.solve_core, layout, config,
+                                  has_P=True)
+    base_axes = (0, 0, 0, 0 if batch_A else None, 0 if batch_A else None,
+                 None)
+    core = jax.vmap(core1, in_axes=base_axes)
+    core_w = jax.vmap(lambda c_, G_, h_, A_, b_, P_, w_: core1(
+        c_, G_, h_, A_, b_, P_, warm=w_
+    ), in_axes=base_axes + (0,))
+
+    def one_round(w_bar, u, rho_d, cD, GD, hD, AD, bD, ED, warm):
+        # effective linear term: c + rho (u - w_bar) on the consensus coords
+        pad = jnp.zeros((S, n - nc), dtype)
+        c_eff = cD + rho_d * jnp.concatenate([u - w_bar[None, :], pad], 1)
+        P = jnp.diag(ED) * rho_d                      # (n, n), shared
+        if warm is None:
+            out = core(c_eff, GD, hD, AD, bD, P)
+        else:
+            out = core_w(c_eff, GD, hD, AD, bD, P, warm)
+        x = out[0].astype(dtype)                      # (S, n)
+        status = out[4]
+        # next round's per-instance warm start (padded, device-resident)
+        warm_next = (out[0], out[1], out[2], out[3])
+        xc = x[:, :nc]
+        xh = alpha * xc + (1.0 - alpha) * w_bar[None, :]
+        w_new = jnp.mean(xh + u, axis=0)              # <- the mesh all-reduce
+        u_new = u + xh - w_new[None, :]
+        pres = jnp.sqrt(jnp.mean(jnp.sum((xc - w_new[None, :]) ** 2, axis=1)))
+        dres = rho_d * jnp.linalg.norm(w_new - w_bar)
+        ok = jnp.all(status == 0)
+        return w_new, u_new, x, pres, dres, ok, warm_next
+
+    return jax.jit(one_round, donate_argnums=(0, 1))
+
+
 def _mesh_specs(mesh):
     """(put_batched, replicated_sharding): the scenario batch is sharded
     over ALL mesh axes, so with a 2-D pod mesh the consensus all-reduce is
@@ -90,12 +141,17 @@ def admm_consensus(
     verbose: bool = False,
     over_relax: float = 1.6,
     adapt_rho: bool = True,
+    warm_start: bool = True,
     checkpoint_every: int = 0,
     checkpoint_path: Optional[str] = None,
     resume_from: Union[SolverCheckpoint, str, None] = None,
 ) -> ADMMResult:
     """Run consensus ADMM; inner solves via the batched lockstep IPM
-    (sharded over `mesh` when given — 1-D, or the 2-D runtime.pod_mesh)."""
+    (sharded over `mesh` when given — 1-D, or the 2-D runtime.pod_mesh).
+
+    `warm_start`: rounds after the first start each scenario's inner IPM
+    from its previous-round solution (recentered; see config.warm_push) —
+    the iterate stays on device between rounds."""
     import jax
     import jax.numpy as jnp
 
@@ -114,34 +170,10 @@ def admm_consensus(
     else:
         A_h, b_h = np.asarray(A), np.asarray(b)
 
-    if config.native_dd:
-        core1 = functools.partial(dd_driver.solve_core_dd, layout, config,
-                                  has_P=True)
-    else:
-        core1 = functools.partial(driver.solve_core, layout, config,
-                                  has_P=True)
-    core = jax.vmap(core1, in_axes=(0, 0, 0, 0 if batch_A else None,
-                                    0 if batch_A else None, None))
-
     alpha = float(over_relax)
     E_mask = (np.arange(n) < nc).astype(np.float64)
-
-    def one_round(w_bar, u, rho_d, cD, GD, hD, AD, bD, ED):
-        # effective linear term: c + rho (u - w_bar) on the consensus coords
-        pad = jnp.zeros((S, n - nc), dtype)
-        c_eff = cD + rho_d * jnp.concatenate([u - w_bar[None, :], pad], 1)
-        P = jnp.diag(ED) * rho_d                      # (n, n), shared
-        out = core(c_eff, GD, hD, AD, bD, P)
-        x = out[0].astype(dtype)                      # (S, n)
-        status = out[4]
-        xc = x[:, :nc]
-        xh = alpha * xc + (1.0 - alpha) * w_bar[None, :]
-        w_new = jnp.mean(xh + u, axis=0)              # <- the mesh all-reduce
-        u_new = u + xh - w_new[None, :]
-        pres = jnp.sqrt(jnp.mean(jnp.sum((xc - w_new[None, :]) ** 2, axis=1)))
-        dres = rho_d * jnp.linalg.norm(w_new - w_bar)
-        ok = jnp.all(status == 0)
-        return w_new, u_new, x, pres, dres, ok
+    jitted = _round_fn(layout, config, S, n, nc, alpha, batch_A,
+                       jnp.dtype(dtype).name)
 
     # ---- place constant problem data once (sharded over the mesh if given)
     Gp = layout.pad_rows(np.asarray(G))
@@ -164,10 +196,9 @@ def admm_consensus(
     bD = put_b(jnp.asarray(b_h, dtype)) if batch_A else put_r(b_h)
     ED = put_r(E_mask)
 
-    jitted = jax.jit(one_round, donate_argnums=(0, 1))
-
     # ---- initial state (fresh or resumed)
     it0 = 0
+    warm = None
     if resume_from is not None:
         ck = (SolverCheckpoint.load(resume_from)
               if isinstance(resume_from, str) else resume_from)
@@ -175,6 +206,11 @@ def admm_consensus(
         u = put_b(jnp.asarray(np.asarray(ck.y, np.float64), dtype))
         rho = float(ck.meta.get("rho", rho))
         it0 = int(ck.iteration)
+        if warm_start and "warm_x" in ck.meta:
+            warm = tuple(
+                put_b(jnp.asarray(ck.meta[k]))
+                for k in ("warm_x", "warm_y", "warm_s", "warm_z")
+            )
     else:
         w_bar = put_r(np.zeros(nc))
         u = put_b(jnp.zeros((S, nc), dtype))
@@ -185,9 +221,11 @@ def admm_consensus(
     rounds = 0
     for it in range(it0, outer_iters):
         rounds += 1
-        w_bar, u, x, pres_d, dres_d, ok_d = jitted(
-            w_bar, u, jnp.asarray(rho, dtype), cD, GD, hD, AD, bD, ED
+        w_bar, u, x, pres_d, dres_d, ok_d, warm_next = jitted(
+            w_bar, u, jnp.asarray(rho, dtype), cD, GD, hD, AD, bD, ED, warm
         )
+        if warm_start:
+            warm = warm_next
         # the ONLY per-round host traffic: three scalars
         pres, dres, ok = float(pres_d), float(dres_d), bool(ok_d)
         if verbose:
@@ -207,10 +245,16 @@ def admm_consensus(
         if checkpoint_every and checkpoint_path and (
             (it + 1) % checkpoint_every == 0
         ):
+            meta = {"rho": rho, "pres": pres, "dres": dres}
+            if warm_start and warm is not None:
+                meta.update(
+                    warm_x=np.asarray(warm[0]), warm_y=np.asarray(warm[1]),
+                    warm_s=np.asarray(warm[2]), warm_z=np.asarray(warm[3]),
+                )
             SolverCheckpoint(
                 x=np.asarray(w_bar), y=np.asarray(u),
                 s=np.zeros(0), z=np.zeros(0), iteration=it + 1,
-                meta={"rho": rho, "pres": pres, "dres": dres},
+                meta=meta,
             ).save(checkpoint_path)
         if converged:
             break

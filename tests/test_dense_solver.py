@@ -129,6 +129,28 @@ def test_f32_with_refinement_reaches_1e6():
     assert abs(rj.pcost - sol.pcost) <= 1e-4 * max(1.0, abs(sol.pcost))
 
 
+def test_warm_start():
+    """Warm starting from a nearby solution converges in fewer iterations
+    and to the same answer (both drivers)."""
+    prob, sol = random_socp(9, n=30, l=8, qs=(4, 6, 10), p=5)
+    cold = socp_tpu.solve(prob)
+    assert cold.status_name == "optimal"
+    # perturb the objective slightly: the old solution is a good start
+    prob2 = type(prob)(c=prob.c * 1.01, G=prob.G, h=prob.h, dims=prob.dims,
+                       A=prob.A, b=prob.b)
+    cold2 = socp_tpu.solve(prob2)
+    warm2 = socp_tpu.solve(prob2, warm=(cold.x, cold.y, cold.s, cold.z))
+    assert warm2.status_name == "optimal"
+    assert abs(warm2.pcost - cold2.pcost) <= 1e-7 * max(1.0, abs(cold2.pcost))
+    assert warm2.iterations < cold2.iterations
+    # dd driver path
+    cfg = SolverConfig(native_dd=True)
+    warm_dd = socp_tpu.solve(prob2, config=cfg,
+                             warm=(cold.x, cold.y, cold.s, cold.z))
+    assert warm_dd.status_name == "optimal"
+    assert abs(warm_dd.pcost - cold2.pcost) <= 1e-7 * max(1.0, abs(cold2.pcost))
+
+
 def test_sparse_inputs_accepted():
     """scipy.sparse G/A/P densify transparently (Julia-ecosystem parity)."""
     import scipy.sparse as sp
