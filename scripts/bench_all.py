@@ -156,8 +156,10 @@ def main():
 
         S = 16384 if full else 256
         c, G, h, dims, A, b, info = scenario_portfolio(0, n=20, n_scenarios=S)
+        # 2 warm-up rounds: round 1 compiles the cold-start inner variant,
+        # round 2 the warm-start variant (both used in the timed run)
         admm_consensus(c, G, h, dims, info["n"], A=A, b=b, rho=1.0,
-                       outer_iters=1, config=cfg)      # warm the jit cache
+                       outer_iters=2, config=cfg)
         t0 = time.time()
         res = admm_consensus(c, G, h, dims, info["n"], A=A, b=b,
                              rho=1.0, outer_iters=10, config=cfg)

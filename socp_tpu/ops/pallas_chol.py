@@ -93,22 +93,23 @@ def _f32_tri_kernel(l_ref, lt_ref, b_ref, x_ref):
     """Each step reads ONE row of the factor via a dynamic ref slice
     (pl.ds lowers to address arithmetic — O(n) traffic per step), not a
     masked extraction from the full matrix (O(n^2) per step, the cost
-    driver of the first kernel version).  The forward pass reads rows of
-    LT (= columns of L, contiguous); the backward pass reads rows of L
-    (= columns of L')."""
+    driver of the first kernel version).  The RHS rides TRANSPOSED as
+    (k, n) so the solve dimension n spans the 128-lane axis — an (n, 1)
+    column layout uses 1 of 128 lanes per VPU op.  The forward pass reads
+    rows of LT (= columns of L); the backward pass rows of L."""
     n = l_ref.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    iota = lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def substitute(m_ref, B, j, below):
-        col = m_ref[pl.ds(j, 1), :].T                           # (n, 1)
+        col = m_ref[pl.ds(j, 1), :]                             # (1, n)
         sel = jnp.where(iota == j, jnp.float32(1.0), jnp.float32(0.0))
         piv = jnp.sum(col * sel)                                # scalar
-        bj = jnp.sum(B * sel, axis=0, keepdims=True)            # (1, k)
+        bj = jnp.sum(B * sel, axis=1, keepdims=True)            # (k, 1)
         xj = bj / piv
         B = jnp.where(iota == j, xj, B)
         mask = (iota > j) if below else (iota < j)
-        coef = jnp.where(mask, col, jnp.float32(0.0))
-        return B - coef * xj
+        coef = jnp.where(mask, col, jnp.float32(0.0))           # (1, n)
+        return B - xj * coef
 
     def fwd(j, B):
         return substitute(lt_ref, B, j, below=True)
@@ -126,11 +127,12 @@ def tri_solve_f32(L: jax.Array, LT: jax.Array, B: jax.Array) -> jax.Array:
     the whole forward+backward substitution is ONE kernel (2n hardware-loop
     steps) instead of ~2n XLA dispatches."""
     n, k = B.shape
-    return pl.pallas_call(
+    xt = pl.pallas_call(
         _f32_tri_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.float32),
         interpret=_interpret(),
-    )(L.astype(jnp.float32), LT.astype(jnp.float32), B.astype(jnp.float32))
+    )(L.astype(jnp.float32), LT.astype(jnp.float32), B.astype(jnp.float32).T)
+    return xt.T
 
 
 # ---------------------------------------------------------------------------
@@ -199,33 +201,35 @@ def cholesky_dd(H: DD) -> DD:
 
 def _tri_pair_kernel(lhi_ref, llo_ref, lthi_ref, ltlo_ref,
                      bhi_ref, blo_ref, xhi_ref, xlo_ref):
-    """(L L')^-1 B for one (n, n) dd factor and (n, k) dd rhs, fully
-    VMEM-resident.  Each step reads ONE row of the factor via a dynamic
-    ref slice (O(n) traffic; see _f32_tri_kernel) — the forward pass rows
-    of LT (= columns of L), the backward pass rows of L (= columns of
-    L')."""
+    """(L L')^-1 B for one (n, n) dd factor and (k, n) TRANSPOSED dd rhs,
+    fully VMEM-resident.  Each step reads ONE row of the factor via a
+    dynamic ref slice (O(n) traffic), and the rhs rides as (k, n) row
+    vectors so the solve dimension n spans the 128-lane axis — an (n, 1)
+    column layout uses 1 of 128 lanes per VPU op.  The forward pass reads
+    rows of LT (= columns of L), the backward pass rows of L (= columns
+    of L')."""
     n = lhi_ref.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    iota = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     zero = jnp.float32(0.0)
 
     def substitute(mhi_ref, mlo_ref, carry_hi, carry_lo, j, below):
-        col = DD(mhi_ref[pl.ds(j, 1), :].T,
-                 mlo_ref[pl.ds(j, 1), :].T)                     # (n, 1)
-        sel = jnp.where(iota == j, jnp.float32(1.0), zero)      # (n, 1)
+        col = DD(mhi_ref[pl.ds(j, 1), :],
+                 mlo_ref[pl.ds(j, 1), :])                       # (1, n)
+        sel = jnp.where(iota == j, jnp.float32(1.0), zero)      # (1, n)
         B = DD(carry_hi, carry_lo)
         piv = DD(jnp.sum(col.hi * sel, keepdims=True),
                  jnp.sum(col.lo * sel, keepdims=True))          # (1, 1)
-        bj = DD(jnp.sum(B.hi * sel, axis=0, keepdims=True),
-                jnp.sum(B.lo * sel, axis=0, keepdims=True))     # (1, k)
-        xj = ddm.div(bj, piv)                                   # (1, k)
+        bj = DD(jnp.sum(B.hi * sel, axis=1, keepdims=True),
+                jnp.sum(B.lo * sel, axis=1, keepdims=True))     # (k, 1)
+        xj = ddm.div(bj, piv)                                   # (k, 1)
         is_j = iota == j
         B = ddm.where(is_j,
                       DD(xj.hi + jnp.zeros_like(B.hi),
                          xj.lo + jnp.zeros_like(B.lo)), B)
         mask = (iota > j) if below else (iota < j)
         coef = DD(jnp.where(mask, col.hi, zero),
-                  jnp.where(mask, col.lo, zero))
-        B = ddm.sub(B, ddm.mul(coef, xj))
+                  jnp.where(mask, col.lo, zero))                # (1, n)
+        B = ddm.sub(B, ddm.mul(xj, coef))
         return B.hi, B.lo
 
     def fwd(j, carry):
@@ -243,15 +247,17 @@ def _tri_pair_kernel(lhi_ref, llo_ref, lthi_ref, ltlo_ref,
 
 
 def tri_pair_solve(L: DD, LT: DD, b: DD) -> DD:
-    """VMEM-resident (L L')^-1 b; b is (n, k) dd.  vmap for batches."""
+    """VMEM-resident (L L')^-1 b; b is (n, k) dd.  vmap for batches.
+    (The rhs is transposed to (k, n) around the kernel so the solve
+    dimension rides the lane axis; XLA fuses the transposes.)"""
     n, k = b.hi.shape
     with ddm.barrier_free():
         hi, lo = pl.pallas_call(
             _tri_pair_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((n, k), jnp.float32),
-                jax.ShapeDtypeStruct((n, k), jnp.float32),
+                jax.ShapeDtypeStruct((k, n), jnp.float32),
+                jax.ShapeDtypeStruct((k, n), jnp.float32),
             ),
             interpret=_interpret(),
-        )(L.hi, L.lo, LT.hi, LT.lo, b.hi, b.lo)
-    return DD(hi, lo)
+        )(L.hi, L.lo, LT.hi, LT.lo, b.hi.T, b.lo.T)
+    return DD(hi.T, lo.T)
