@@ -139,45 +139,48 @@ def tri_solve_f32(L: jax.Array, LT: jax.Array, B: jax.Array) -> jax.Array:
 # dd32 Cholesky
 # ---------------------------------------------------------------------------
 
-def _select_col(Mhi, Mlo, sel) -> DD:
-    """Column j of a dd matrix via masked VPU reduction (exact selection);
-    sel is the (1, n) one-hot row."""
-    return DD(
-        jnp.sum(Mhi * sel, axis=1, keepdims=True),
-        jnp.sum(Mlo * sel, axis=1, keepdims=True),
-    )
-
-
 def _dd_chol_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
+    """Right-looking dd Cholesky with the working matrix IN the output
+    refs: column j of the (symmetric) trailing block is read as ROW j via
+    one dynamic ref slice (entries k < j hold already-written L columns
+    and are masked off) — O(n) extraction instead of an O(n^2) masked
+    scan; the rank-1 trailing update is the remaining real O(n^2)/step."""
     n = hi_ref.shape[-1]
     rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    iota_r = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     zero = jnp.float32(0.0)
 
-    def step(j, carry):
-        hi, lo = carry
-        M = DD(hi, lo)
-        sel = jnp.where(iota.T == j, jnp.float32(1.0), zero)
-        col = _select_col(hi, lo, sel)
-        piv = DD(jnp.sum(col.hi * sel.T, keepdims=True),
-                 jnp.sum(col.lo * sel.T, keepdims=True))        # (1, 1)
+    lhi_ref[...] = hi_ref[...]
+    llo_ref[...] = lo_ref[...]
+
+    def step(j, _):
+        row = DD(lhi_ref[pl.ds(j, 1), :], llo_ref[pl.ds(j, 1), :])  # (1, n)
+        sel = jnp.where(iota_r == j, jnp.float32(1.0), zero)
+        piv = DD(jnp.sum(row.hi * sel, keepdims=True),
+                 jnp.sum(row.lo * sel, keepdims=True))          # (1, 1)
         d = ddm.sqrt(piv)
-        c = ddm.div(col, d)
-        rmask = iota >= j
-        c = DD(jnp.where(rmask, c.hi, zero), jnp.where(rmask, c.lo, zero))
-        upd = ddm.sub(M, ddm.mul(c, c.T))
+        cmask = iota_r >= j
+        crow = ddm.div(
+            DD(jnp.where(cmask, row.hi, zero), jnp.where(cmask, row.lo, zero)),
+            d,
+        )                                                       # (1, n)
+        c = DD(crow.hi.T, crow.lo.T)                            # (n, 1)
+        M = DD(lhi_ref[...], llo_ref[...])
+        upd = ddm.sub(M, ddm.mul(c, crow))
         trail = (rows > j) & (cols > j)
         M = ddm.where(trail, upd, M)
         M = ddm.where(cols == j,
-                      DD(c.hi + jnp.zeros_like(hi), c.lo + jnp.zeros_like(lo)),
-                      M)
-        return (M.hi, M.lo)
+                      DD(c.hi + jnp.zeros_like(M.hi),
+                         c.lo + jnp.zeros_like(M.lo)), M)
+        lhi_ref[...] = M.hi
+        llo_ref[...] = M.lo
+        return 0
 
-    hi, lo = lax.fori_loop(_i32(0), _i32(n), step, (hi_ref[...], lo_ref[...]))
+    lax.fori_loop(_i32(0), _i32(n), step, 0)
     lower = rows >= cols
-    lhi_ref[...] = jnp.where(lower, hi, zero)
-    llo_ref[...] = jnp.where(lower, lo, zero)
+    lhi_ref[...] = jnp.where(lower, lhi_ref[...], zero)
+    llo_ref[...] = jnp.where(lower, llo_ref[...], zero)
 
 
 def cholesky_dd(H: DD) -> DD:
