@@ -92,10 +92,11 @@ class SolverConfig:
     ring_schur: bool = False
     # Warm-start recentering: a supplied (x, y, s, z) start has its s and z
     # lifted along the cone identity until their smallest Jordan eigenvalue
-    # is >= warm_push * sqrt(mu_w) (mu_w = s'z/nu of the warm point).  A
-    # warm point ON the boundary destroys the NT scaling; this slight
-    # recentering is the standard remedy that makes IPM warm starts usable.
-    warm_push: float = 0.1
+    # is >= warm_push x the iterate's own mean magnitude.  A warm point ON
+    # the boundary destroys the NT scaling, and a converged point's s_i z_i
+    # products are maximally uncentered — the lift trades a little restart
+    # mu for centrality the predictor-corrector can digest.
+    warm_push: float = 0.05
     # Record the per-iteration table [pcost, dcost, gap, pres, dres, step]
     # into Solution.history (a (max_iter, 6) array; rows beyond the final
     # iteration stay zero).  Off by default: it adds a small carry.

@@ -173,8 +173,11 @@ def solve_core_dd(
     if warm is not None:
         xw, yw, sw, zw = (to_dd(w) for w in warm)
         x0, y0 = xw, yw
-        mu_w = jnp.maximum(dd_ops.dd_dot(sw, zw, axis=0).hi / nu, 1e-10)
-        margin = jnp.float32(cfg.warm_push) * jnp.sqrt(mu_w)
+        # magnitude-relative recentering (see ipm/driver.py): a converged
+        # point is maximally uncentered; lift by warm_push x the iterate's
+        # own mean magnitude, not by the (tiny) residual mu
+        scale = 0.5 * (jnp.mean(jnp.abs(sw.hi)) + jnp.mean(jnp.abs(zw.hi)))
+        margin = jnp.float32(cfg.warm_push) * (scale + 1e-8)
 
         def recenter(v: DD) -> DD:
             lift = jnp.maximum(margin - dd_ops.lambda_min(layout, v), 0.0)

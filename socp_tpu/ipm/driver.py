@@ -130,8 +130,14 @@ def solve_core(
     if warm is not None:
         xw, yw, sw, zw = (jnp.asarray(w, dtype) for w in warm)
         x0, y0 = xw, yw
-        mu_w = jnp.maximum(sw @ zw / nu, 1e-12)
-        margin = jnp.asarray(cfg.warm_push, dtype) * jnp.sqrt(mu_w)
+        # Recentering scale: a converged point has s_i z_i ~ 1e-8, i.e.
+        # MAXIMALLY uncentered relative to any common mu — lifting by a
+        # mu_w-derived margin (~1e-4 of nothing) leaves the start erratic
+        # (measured).  Lift relative to the iterate's own magnitude so the
+        # shifted products spread over ~1/warm_push, a modest centrality
+        # the predictor-corrector digests in a couple of iterations.
+        scale = 0.5 * (jnp.mean(jnp.abs(sw)) + jnp.mean(jnp.abs(zw))) + 1e-8
+        margin = jnp.asarray(cfg.warm_push, dtype) * scale
         s0 = sw + jnp.maximum(margin - cops.lambda_min(layout, sw), 0.0) * e
         z0 = zw + jnp.maximum(margin - cops.lambda_min(layout, zw), 0.0) * e
     else:
