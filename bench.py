@@ -141,11 +141,16 @@ def main():
     total_iters = float(iters.sum())
     mxu_tflops = total_iters * mxu_per_iter / best / 1e12
     vpu_tflops = total_iters * vpu_per_iter / best / 1e12
-    # v5e (TPU v5 lite): ~197 TFLOP/s bf16 MXU, ~0.5 TFLOP/s f32 VPU-class
-    peak_bf16 = 197.0 if on_tpu else None
+    # bf16 MXU peaks by device kind; unknown kinds get no MFU claim
+    peaks = {"TPU v4": 275.0, "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+             "TPU v5": 459.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0,
+             "TPU v6e": 918.0}
+    kind = dev.device_kind if on_tpu else ""
+    peak_bf16 = next((v for k, v in peaks.items() if kind.startswith(k)),
+                     None) if on_tpu else None
     mfu = (mxu_tflops / peak_bf16) if peak_bf16 else None
     log(f"roofline: MXU {mxu_tflops:.2f} TFLOP/s (bf16)"
-        + (f" = {100*mfu:.2f}% of v5e peak" if mfu is not None else "")
+        + (f" = {100*mfu:.2f}% of {kind} peak" if mfu is not None else "")
         + f" | VPU-class dd arithmetic {vpu_tflops:.3f} TFLOP/s (f32)")
 
     # single-core NumPy oracle baseline (stand-in for single-core Socp.jl).

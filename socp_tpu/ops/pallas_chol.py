@@ -19,7 +19,8 @@ not compile):
   * NO `lax.optimization_barrier`: dd arithmetic is traced under
     `ddm.barrier_free()` — Mosaic's MLIR pipeline does not re-associate
     floats, so the raw error-free transforms compile exactly (verified
-    bit-exact vs f64 on hardware).
+    bit-exact vs f64 on hardware).  Interpret mode keeps the barriers
+    (see _dd_trace_ctx: the host backend DOES re-associate).
 
 Batching: `jax.vmap` over the `pallas_call` (batch dim becomes a grid
 dim).  Non-TPU backends run interpret mode, so tests exercise the same
@@ -42,6 +43,18 @@ from socp_tpu.ops.dd import DD
 @functools.cache
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _dd_trace_ctx():
+    """Barrier-free dd tracing ONLY when compiling for TPU: in interpret
+    mode the kernel runs through the host backend, where stripping the
+    optimization barriers would let XLA's simplifier destroy the
+    error-free transforms whenever the f64 fallback is off (x64 disabled).
+    Mosaic needs barrier-free (can't lower the barrier) and is safe
+    (doesn't re-associate); the interpreter is the reverse."""
+    import contextlib
+
+    return contextlib.nullcontext() if _interpret() else ddm.barrier_free()
 
 
 def _i32(v) -> jax.Array:
@@ -186,7 +199,7 @@ def _dd_chol_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
 def cholesky_dd(H: DD) -> DD:
     """Lower dd Cholesky of one (n, n) SPD dd matrix, fully VMEM-resident."""
     n = H.hi.shape[-1]
-    with ddm.barrier_free():
+    with _dd_trace_ctx():
         hi, lo = pl.pallas_call(
             _dd_chol_kernel,
             out_shape=(
@@ -254,7 +267,7 @@ def tri_pair_solve(L: DD, LT: DD, b: DD) -> DD:
     (The rhs is transposed to (k, n) around the kernel so the solve
     dimension rides the lane axis; XLA fuses the transposes.)"""
     n, k = b.hi.shape
-    with ddm.barrier_free():
+    with _dd_trace_ctx():
         hi, lo = pl.pallas_call(
             _tri_pair_kernel,
             out_shape=(

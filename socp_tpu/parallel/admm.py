@@ -206,6 +206,11 @@ def admm_consensus(
         u = put_b(jnp.asarray(np.asarray(ck.y, np.float64), dtype))
         rho = float(ck.meta.get("rho", rho))
         it0 = int(ck.iteration)
+        if it0 >= outer_iters:
+            raise ValueError(
+                f"checkpoint is at round {it0} but outer_iters={outer_iters}"
+                " — nothing to resume; raise outer_iters or start fresh"
+            )
         if warm_start and "warm_x" in ck.meta:
             warm = tuple(
                 put_b(jnp.asarray(ck.meta[k]))
@@ -226,8 +231,11 @@ def admm_consensus(
         )
         if warm_start:
             warm = warm_next
-        # the ONLY per-round host traffic: three scalars
-        pres, dres, ok = float(pres_d), float(dres_d), bool(ok_d)
+        # the ONLY per-round host traffic: three scalars.  ok accumulates:
+        # one failed inner solve anywhere in the trajectory taints the run
+        # (a later clean round must not mask it).
+        pres, dres = float(pres_d), float(dres_d)
+        ok = ok and bool(ok_d)
         if verbose:
             print(f"admm {it:3d} pres={pres:.3e} dres={dres:.3e} rho={rho:.2g}")
         converged = pres <= tol and dres <= tol

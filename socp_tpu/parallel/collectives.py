@@ -46,5 +46,7 @@ def ring_allreduce(x: jax.Array, axis: str, ndev: int,
 
     if n_chunks <= 1 or x.ndim == 0 or x.shape[-1] < n_chunks:
         return ring_one(x)
-    pieces = jnp.split(x, n_chunks, axis=-1)
+    # array_split tolerates an unequal last chunk (split would require an
+    # exact division and trace-fail on e.g. p=6 with 4 chunks)
+    pieces = jnp.array_split(x, n_chunks, axis=-1)
     return jnp.concatenate([ring_one(p) for p in pieces], axis=-1)

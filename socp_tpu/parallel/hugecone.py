@@ -202,8 +202,9 @@ def _core(cfg: SolverConfig, axis: str, ndev: int, c, G_o, G_h, G_t,
         Gh_o, Gh_h, Gh_t = scale_rows_Winv(sc)
         H = psum(Gh_o.T @ Gh_o + Gh_t.T @ Gh_t) + jnp.outer(Gh_h, Gh_h)
         if cfg.delta_reg:
-            dg = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
-            H = H + (cfg.delta_reg * dg * dg) * jnp.eye(n, dtype=dtype)
+            # scale-free: delta relative to each row's own diagonal
+            dg = jnp.maximum(jnp.diagonal(H), 1e-30)
+            H = H + (cfg.delta_reg * dg) * jnp.eye(n, dtype=dtype)
         R = jnp.linalg.cholesky(H)
         return Factored(R=R, Gh_o=Gh_o, Gh_h=Gh_h, Gh_t=Gh_t, scaling=sc)
 
@@ -302,6 +303,18 @@ def _core(cfg: SolverConfig, axis: str, ndev: int, c, G_o, G_h, G_t,
             & ((gap <= cfg.abstol) | (relgap <= cfg.reltol))
         )
 
+        # Farkas certificates off the residuals (parity with ipm/driver.py;
+        # p = 0 here): G'z = rx - c, Gx + s = rz + h.
+        hz = vdot(h, z)
+        pinf = (hz < 0) & (
+            jnp.linalg.norm(rx - c) <= cfg.feastol_inacc * -hz
+        )
+        cx = pcost
+        gx_s = vadd(rz, h)
+        dinf = (cx < 0) & (
+            jnp.sqrt(vnorm2(gx_s)) <= cfg.feastol_inacc * -cx
+        )
+
         sc = nt_scale(s, z)
         f = factor(sc)
         lam = sc.lam
@@ -336,7 +349,14 @@ def _core(cfg: SolverConfig, axis: str, ndev: int, c, G_o, G_h, G_t,
         )
         new_status = jnp.where(
             converged, Status.OPTIMAL,
-            jnp.where(finite, Status.RUNNING, Status.NUMERICAL_ERROR),
+            jnp.where(
+                pinf, Status.PRIMAL_INFEASIBLE,
+                jnp.where(
+                    dinf, Status.DUAL_INFEASIBLE,
+                    jnp.where(finite, Status.RUNNING,
+                              Status.NUMERICAL_ERROR),
+                ),
+            ),
         ).astype(jnp.int32)
         done_now = new_status != Status.RUNNING
         freeze = st.done | done_now

@@ -38,10 +38,20 @@ def init_distributed(
     raise.  We therefore check the distributed client state directly
     instead of probing process_count() first.
     """
-    from jax._src import distributed as _distributed
+    # Prefer the public API; fall back to the private global state on jax
+    # versions without is_initialized (guarded — a missing attribute just
+    # means "assume not initialized" and let initialize() itself error).
+    try:
+        if jax.distributed.is_initialized():
+            return  # coordinator already up (idempotent call)
+    except AttributeError:
+        try:
+            from jax._src import distributed as _distributed
 
-    if getattr(_distributed.global_state, "client", None) is not None:
-        return  # coordinator already up (idempotent call)
+            if getattr(_distributed.global_state, "client", None) is not None:
+                return
+        except Exception:
+            pass
     if coordinator_address is None and num_processes is None and process_id is None:
         import os
 

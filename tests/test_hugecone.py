@@ -72,6 +72,25 @@ def test_hugecone_sharded_matches_single():
     np.testing.assert_allclose(out8[5][:2], out1[5][:2], rtol=1e-7, atol=1e-9)
 
 
+def test_hugecone_detects_primal_infeasible():
+    """Farkas certificate through the huge cone's geometry: ||u|| <= t with
+    t <= -1 forced by the orthant row (cf. models.primal_infeasible_soc)."""
+    q = 17
+    n = q
+    G = np.zeros((1 + q, n))
+    G[0, 0] = 1.0
+    G[1:, :] = -np.eye(q)
+    h = np.concatenate([[-1.0], np.zeros(q)])
+    rng = np.random.default_rng(0)
+    # pad the orthant to a shardable length with slack rows
+    G = np.concatenate([G[:1], np.zeros((7, n)), G[1:]])
+    h = np.concatenate([h[:1], np.ones(7), h[1:]])
+    x, s, z, status, k, stats = solve_huge_soc(
+        rng.normal(size=n), G, h, l=8, mesh=block_mesh(1)
+    )
+    assert status.name == "PRIMAL_INFEASIBLE"
+
+
 @requires_multidevice
 def test_hugecone_pure_soc_no_orthant():
     prob, l, q = _huge_soc_problem(2, n=8, l=0, q=33)

@@ -110,6 +110,17 @@ def test_ring_schur_matches_psum():
 
 
 @requires_multidevice
+def test_ring_schur_indivisible_chunks():
+    """p not divisible by the chunk count must still work (regression:
+    jnp.split required an equal division; p=6 with 4 chunks trace-failed)."""
+    prob, pstar = random_block_problem(6, K=8, nb=6, p=6)
+    ring = solve_block(prob, mesh=block_mesh(8),
+                       config=SolverConfig(ring_schur=True))
+    assert ring[4].name == "OPTIMAL"
+    assert abs(ring[6][0] - pstar) <= 1e-6 * max(1.0, abs(pstar))
+
+
+@requires_multidevice
 def test_ring_allreduce_unit():
     """ring_allreduce == psum on raw arrays, chunked and unchunked."""
     import functools
