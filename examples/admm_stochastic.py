@@ -20,7 +20,7 @@ from socp_tpu.parallel.admm import admm_consensus
 S = 32
 c, G, h, dims, A, b, info = scenario_portfolio(0, n=12, n_scenarios=S)
 res = admm_consensus(c, G, h, dims, info["n"], A=A, b=b, rho=1.0,
-                     outer_iters=40, tol=1e-5, verbose=True)
+                     outer_iters=100, tol=1e-6, verbose=True)
 print(f"\nADMM: {res.outer_iterations} outer iters, "
       f"objective {res.objective:.6f}")
 

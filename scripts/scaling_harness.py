@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--per-dev", type=int, default=8,
                     help="blocks per device (held constant = weak scaling)")
     ap.add_argument("--sizes", default="1,2,4,8")
-    ap.add_argument("--nb", type=int, default=16)
+    ap.add_argument("--nb", type=int, default=8)
     ap.add_argument("--p", type=int, default=8)
     ap.add_argument("--ring", action="store_true",
                     help="use the ppermute-ring Schur reduction")
@@ -37,6 +37,10 @@ def main():
 
     import jax
 
+    # the axon sitecustomize force-registers its platform and ignores the
+    # JAX_PLATFORMS env var; re-apply it as a config update (cf. conftest)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
