@@ -114,9 +114,13 @@ def main():
     max_gap = float(stats[:, 2].max())
     solves_per_s = args.batch / best
     iters_per_s = float(iters.sum()) / best
-    # chunks run sequentially: per-iteration time is wall / (iters of one
-    # chunk x number of chunks)
-    lockstep_ms = best / max(float(iters.max()), 1.0) / n_chunks * 1e3
+    # chunks run sequentially, each for ITS OWN slowest instance's count:
+    # per-iteration time = wall / sum over chunks of that chunk's max
+    chunk_iters = sum(
+        float(iters[i * chunk : (i + 1) * chunk].max())
+        for i in range(n_chunks)
+    )
+    lockstep_ms = best / max(chunk_iters, 1.0) * 1e3
     log(f"steady run: {best:.2f}s -> {solves_per_s:.1f} solves/s, "
         f"{iters_per_s:.0f} instance-iters/s | optimal {ok}/{args.batch} "
         f"| max gap {max_gap:.2e} | lockstep iter {lockstep_ms:.1f} ms")

@@ -82,11 +82,13 @@ def solve_core_dd(
     driver.solve_core (arrays in f32).
 
     `warm`: optional (x, y, s, z) start (padded, f32/f64).  Skips the two
-    W=I least-squares init solves; s and z are shifted along the cone
-    identity so their Jordan eigenvalues are at least
-    cfg.warm_push * sqrt(mu_w) — a cold-blooded warm point sitting ON the
-    boundary destroys the NT scaling, so re-centering slightly is what
-    makes IPM warm starts usable (the standard remedy).
+    W=I least-squares init solves; s and z are lifted along the cone
+    identity until their smallest Jordan eigenvalue reaches
+    cfg.warm_push x the iterate's own mean magnitude — a warm point ON
+    the boundary destroys the NT scaling, and a converged point's s_i z_i
+    products are maximally uncentered, so the lift trades a little
+    restart mu for digestible centrality (a mu_w-derived margin is a
+    measured dead end; see the init comment).
     """
     n = c64.shape[0]
     p = A64.shape[0]

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 _SPLITTER = 4097.0  # 2^12 + 1 for f32's 24-bit mantissa
 
 
-_BARRIER_FREE = False
+import threading
+
+_barrier_state = threading.local()
 
 
 def _ob(x):
@@ -33,7 +35,7 @@ def _ob(x):
     destroys error-free transformations.  Marking the pivot intermediates
     opaque blocks those rewrites at zero runtime cost; verified necessary
     on the CPU backend (tests/test_dd.py)."""
-    if _BARRIER_FREE:
+    if getattr(_barrier_state, "free", False):
         return x
     return jax.lax.optimization_barrier(x)
 
@@ -46,16 +48,17 @@ class barrier_free:
     MLIR pipeline does not re-associate float arithmetic, so the raw
     Knuth/Dekker transforms compile exactly — verified on hardware
     (scripts/pallas_probe.py: two_sum/two_prod bit-exact vs f64).
+
+    The flag is thread-local so concurrent tracing on other threads keeps
+    its barriers.
     """
 
     def __enter__(self):
-        global _BARRIER_FREE
-        self._saved = _BARRIER_FREE
-        _BARRIER_FREE = True
+        self._saved = getattr(_barrier_state, "free", False)
+        _barrier_state.free = True
 
     def __exit__(self, *exc):
-        global _BARRIER_FREE
-        _BARRIER_FREE = self._saved
+        _barrier_state.free = self._saved
         return False
 
 

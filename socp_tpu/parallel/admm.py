@@ -64,25 +64,19 @@ def _round_fn(layout, config: SolverConfig, S: int, n: int, nc: int,
     """Build (and cache) the jitted one-round function: inner vmapped IPM +
     consensus all-reduce + dual update, all in one program.  Cached at
     module level so repeated admm_consensus calls with the same problem
-    shape reuse the compiled executable."""
+    shape reuse the compiled executable.  The inner solver dispatch
+    (driver selection, warm adapter, vmap axes) is api._compiled — one
+    source of truth."""
     import jax
     import jax.numpy as jnp
 
-    from socp_tpu.ipm import dd_driver, driver
+    from socp_tpu import api
 
     dtype = jnp.dtype(dtype_name)
-    if config.native_dd:
-        core1 = functools.partial(dd_driver.solve_core_dd, layout, config,
-                                  has_P=True)
-    else:
-        core1 = functools.partial(driver.solve_core, layout, config,
-                                  has_P=True)
-    base_axes = (0, 0, 0, 0 if batch_A else None, 0 if batch_A else None,
-                 None)
-    core = jax.vmap(core1, in_axes=base_axes)
-    core_w = jax.vmap(lambda c_, G_, h_, A_, b_, P_, w_: core1(
-        c_, G_, h_, A_, b_, P_, warm=w_
-    ), in_axes=base_axes + (0,))
+    core = api._compiled(layout, config, has_P=True, batched=True,
+                         batch_A=batch_A, batch_P=False, has_warm=False)
+    core_w = api._compiled(layout, config, has_P=True, batched=True,
+                           batch_A=batch_A, batch_P=False, has_warm=True)
 
     def one_round(w_bar, u, rho_d, cD, GD, hD, AD, bD, ED, warm):
         # effective linear term: c + rho (u - w_bar) on the consensus coords
@@ -159,6 +153,11 @@ def admm_consensus(
     from socp_tpu.cones.layout import make_layout
     from socp_tpu.ipm import dd_driver, driver
 
+    if checkpoint_every and not checkpoint_path:
+        raise ValueError(
+            "checkpoint_every > 0 requires checkpoint_path — without it the"
+            " requested snapshots would be silently skipped"
+        )
     S, n = c.shape
     nc = n_consensus
     config = api._resolve_pallas(config, n, batch=S)

@@ -31,18 +31,32 @@ def ring_allreduce(x: jax.Array, axis: str, ndev: int,
     Must run inside shard_map over `axis`.  For ndev == 1 it is the
     identity.  `n_chunks` > 1 splits x along its last dimension so chunk
     k's hop can overlap chunk k-1's local add (XLA async scheduling).
+
+    BITWISE-REPLICATED result: a naive running ring sum would accumulate
+    in each device's own rotation order, so float non-associativity would
+    leave per-device results differing in low bits (violating the caller's
+    replicated out_specs).  Instead each hop's message is stored into a
+    slot indexed by its ORIGIN device, and the final reduction sums slots
+    in fixed index order 0..ndev-1 — identical association on every
+    device, hence identical bits.
     """
     if ndev <= 1:
         return x
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    me = lax.axis_index(axis)
 
     def ring_one(chunk):
-        acc = chunk
+        slots = jnp.zeros((ndev,) + chunk.shape, chunk.dtype)
+        slots = lax.dynamic_update_index_in_dim(
+            slots, chunk, jnp.int32(me), axis=0
+        )
         msg = chunk
-        for _ in range(ndev - 1):
+        for t in range(1, ndev):
             msg = lax.ppermute(msg, axis, perm)
-            acc = acc + msg
-        return acc
+            origin = jnp.int32((me - t) % ndev)
+            slots = lax.dynamic_update_index_in_dim(slots, msg, origin,
+                                                    axis=0)
+        return jnp.sum(slots, axis=0)      # fixed order: bitwise replicated
 
     if n_chunks <= 1 or x.ndim == 0 or x.shape[-1] < n_chunks:
         return ring_one(x)

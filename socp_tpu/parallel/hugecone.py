@@ -304,15 +304,17 @@ def _core(cfg: SolverConfig, axis: str, ndev: int, c, G_o, G_h, G_t,
         )
 
         # Farkas certificates off the residuals (parity with ipm/driver.py;
-        # p = 0 here): G'z = rx - c, Gx + s = rz + h.
+        # p = 0 here): G'z = rx - c, Gx + s = rz + h.  Strict feastol, like
+        # the other drivers' in-loop tests — the relaxed threshold belongs
+        # only to a stall-exit pass, which this solver doesn't have.
         hz = vdot(h, z)
         pinf = (hz < 0) & (
-            jnp.linalg.norm(rx - c) <= cfg.feastol_inacc * -hz
+            jnp.linalg.norm(rx - c) <= cfg.feastol * -hz
         )
         cx = pcost
         gx_s = vadd(rz, h)
         dinf = (cx < 0) & (
-            jnp.sqrt(vnorm2(gx_s)) <= cfg.feastol_inacc * -cx
+            jnp.sqrt(vnorm2(gx_s)) <= cfg.feastol * -cx
         )
 
         sc = nt_scale(s, z)

@@ -520,8 +520,10 @@ def _compiled_block(layout: ConeLayout, cfg: SolverConfig, mesh: Mesh,
         out_specs=(blk, rep, blk, blk, rep, rep, rep, rep),
         # collectives are elided on a 1-device mesh (see _core), which the
         # varying-axes type check would reject; with ring_schur the check
-        # also can't prove the ppermute-ring sum is replicated (it is: all
-        # devices hold the identical ndev-term total) — disable it there
+        # can't prove the ppermute-ring sum is replicated — it IS, by
+        # construction: ring_allreduce accumulates origin-ordered slots so
+        # every device sums in the identical association (bitwise equal),
+        # but that's a numerical invariant the type system can't see
         check_vma=mesh.devices.size > 1 and not cfg.ring_schur,
     )
     return jax.jit(mapped)
