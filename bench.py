@@ -33,7 +33,7 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     # default batch = the BASELINE config-3 contract (4096 robust-LS
-    # instances); runs as sequential 2048-chunks of one executable
+    # instances); runs as sequential chunks of one compiled executable
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--quick", action="store_true",
@@ -49,11 +49,11 @@ def main():
                     help="run the all-dd32 IPM driver (no f64 anywhere in "
                          "the hot loop); default: on for TPU")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--chunk", type=int, default=256,
+    ap.add_argument("--chunk", type=int, default=128,
                     help="max instances per device call; larger batches run "
                          "as sequential chunks of one compiled executable. "
                          "Smaller chunks win twice (measured: 4096 as "
-                         "16x256 = 1006 solves/s vs 2x2048 = 640): each "
+                         "32x128 = 1137 solves/s vs 2x2048 = 640): each "
                          "chunk's lockstep loop exits at ITS OWN slowest "
                          "instance (straggler waste shrinks), and the "
                          "Ozaki slice arrays stop thrashing HBM (~1.8 GB "
