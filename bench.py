@@ -6,20 +6,27 @@ robust-least-squares family (config 3), on whatever accelerator is attached
 the single-core NumPy oracle (the in-environment stand-in for single-core
 Socp.jl — the reference publishes no numbers; see BASELINE.md).
 
+The JSON line uses the unified socp_tpu.utils.metrics schema: alongside
+solves/s it carries the BASELINE primary metrics (IPM iterations/s, KKT
+factorize ms, KKT solve ms — measured by scan differencing inside one
+jitted program, the only honest way through the ~30 ms dispatch tunnel)
+and `achieved_vs_attainable_pct`, the lockstep iteration time against an
+attainable-ceiling roofline (HBM bytes + VPU/MXU flops of the dd
+iteration vs device peaks) — NOT against the irrelevant MXU-peak MFU
+denominator alone.
+
 Timing is device-resident: problem data is placed on device once via
 `socp_tpu.prepare_batch`, and the steady-state timing syncs on the (tiny)
 status vector — measuring solver throughput, not host-link bandwidth (the
 dev TPU attaches through a tunnel whose 65MB problem upload would otherwise
 dominate).
 
-Extra diagnostics (KKT factorize+solve ms, per-iteration time, statuses)
-go to stderr; stdout carries exactly one JSON line.
+Extra diagnostics go to stderr; stdout carries exactly one JSON line.
 
 Usage: python bench.py [--batch B] [--n N] [--quick]
 """
 
 import argparse
-import json
 import sys
 import time
 
@@ -28,6 +35,122 @@ import numpy as np
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# Device peak table: bf16 MXU TFLOP/s, HBM GB/s, VPU f32 TFLOP/s.
+# MXU/HBM are vendor figures; VPU f32 is derived (lanes*ALUs*2*clock) and
+# should be replaced by scripts/roofline.py's measured value per device
+# kind when available.  Unknown kinds get no utilization claim.
+_PEAKS = {
+    "TPU v4":      (275.0, 1228.0, 4.3),
+    "TPU v5 lite": (197.0, 819.0, 9.8),
+    "TPU v5e":     (197.0, 819.0, 9.8),
+    "TPU v5p":     (459.0, 2765.0, 11.5),
+    "TPU v5":      (459.0, 2765.0, 11.5),
+    "TPU v6 lite": (918.0, 1640.0, 14.7),
+    "TPU v6e":     (918.0, 1640.0, 14.7),
+}
+
+
+def _iteration_model(n, m, refine_steps=1):
+    """Per-instance per-lockstep-iteration cost model of the dd-native IPM
+    (kkt/dd_dense.py pipeline, p = 0 robust-LS shape).  Returns
+    (hbm_bytes, mxu_flops, vpu_flops).
+
+    Counted streams (dd = 8 B/elem (2xf32), slices = 7 bf16 arrays):
+      factor: scale_rows_Winv read+write (16mn), preslice Ghat + Ghat.T
+      (2 reads + 14 slice-writes = 44mn), Gram 28 pair-dots reading 2
+      slices each (112mn) + f32 diagonal partial traffic (~224n^2),
+      blocked dd Cholesky (~6 L passes, 48n^2);
+      solves: 2 Newton solves x (1+refine) KKT solves x 2 triangular
+      passes over dd L/LT (8 passes at refine=1, 64n^2) + ~14 presliced
+      matvecs reading 7 bf16 slices each (196mn);
+      cone sweeps: ~30 dd m-vectors (~500m, negligible).
+
+    MXU: Gram 28 passes x 2n^2m + 14 matvecs x 28 x 2nm.
+    VPU: dd Cholesky ~25 f32 ops/dd-flop x n^3 (the right-looking masked
+    form does the full cube), substitutions 8 x 25n^2, two preslice peels
+    ~36mn, cone/elementwise ~300m.
+
+    The constants are +-30%-grade: the model's job is to place the
+    attainable ceiling within a small factor so perf work is guided by
+    measured distance, not to be an exact simulator.
+    """
+    solves = 2 * (1 + refine_steps)          # KKT solves per iteration
+    matvecs = 2 + 4 * refine_steps + 2 * solves
+    hbm = (16 + 44 + 112) * m * n + 14 * 2 * matvecs * m * n \
+        + (224 + 48 + 8 * 2 * solves * 4) * n * n
+    mxu = 28 * 2 * n * n * m + matvecs * 28 * 2 * n * m
+    vpu = 25 * n ** 3 + 2 * solves * 25 * n * n + 36 * m * n + 300 * m
+    return float(hbm), float(mxu), float(vpu)
+
+
+def _kkt_split_ms(cfg, layout, Gp, B, n, reps=2):
+    """Measured KKT factorize / solve ms for a B-instance chunk via
+    lax.scan differencing (run K times with a carry dependency inside one
+    jitted program; difference, divide).  Uses the same dd pipeline the
+    shipping batched path runs."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from socp_tpu.cones import dd_ops
+    from socp_tpu.kkt import dd_dense
+    from socp_tpu.ops import dd as ddm
+
+    m = layout.m_pad
+    rng = np.random.default_rng(0)
+    e = np.asarray(dd_ops.identity(layout).hi, np.float64)
+    s = jnp.asarray(np.tile(e, (B, 1)) * rng.uniform(1.0, 1.5, (B, m)),
+                    jnp.float32)
+    z = jnp.asarray(np.tile(e, (B, 1)) * rng.uniform(1.0, 1.5, (B, m)),
+                    jnp.float32)
+    G32 = ddm.from_f64(jnp.asarray(Gp, jnp.float64))        # (B, m, n) dd
+    A0 = ddm.from_f32(jnp.zeros((0, n), jnp.float32))
+    v0 = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+
+    v_scale = jax.vmap(lambda s_, z_: dd_ops.nt_scale(
+        layout, ddm.from_f32(s_), ddm.from_f32(z_)))
+    v_factor = jax.vmap(
+        lambda sc, g: dd_dense.factor_dd(layout, sc, None, A0, g,
+                                         cfg.delta_reg),
+    )
+    v_solve = jax.vmap(lambda k, bx: dd_dense.solve_dd(
+        layout, k, A0, ddm.from_f32(bx),
+        ddm.from_f32(jnp.zeros((0,), jnp.float32)),
+        ddm.from_f32(jnp.zeros((m,), jnp.float32))))
+
+    def timed(step, x0, K):
+        def scanned(x):
+            out, _ = lax.scan(lambda c, _: (step(c), None), x, None, length=K)
+            return out
+        f = jax.jit(scanned)
+        out = f(x0)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            out = f(x0)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            best = min(best, time.time() - t0)
+        return best * 1e3
+
+    def f_factor(s_):
+        sc = v_scale(s_, z)
+        kkt = v_factor(sc, G32)
+        return s_ + 1e-30 * kkt.L_H.L.hi[:, 0, 0, None]
+
+    kkt0 = jax.jit(lambda s_, z_: v_factor(v_scale(s_, z_), G32))(s, z)
+
+    def f_solve(v):
+        dx, _, _ = v_solve(kkt0, v)
+        return v * 0.5 + 0.5 * dx.hi
+
+    # K=5 vs K=1 (marginal over 4 applications) to keep the difference
+    # well above timer noise; clamp at 0 for pathological contention
+    factor_ms = max(0.0, (timed(f_factor, s, 5) - timed(f_factor, s, 1)) / 4)
+    solve_ms = max(0.0, (timed(f_solve, v0, 5) - timed(f_solve, v0, 1)) / 4)
+    return factor_ms, solve_ms              # per-chunk (B-instance) ms
 
 
 def main():
@@ -49,6 +172,14 @@ def main():
                     help="run the all-dd32 IPM driver (no f64 anywhere in "
                          "the hot loop); default: on for TPU")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-kkt-split", action="store_true",
+                    help="skip the scan-differenced KKT factor/solve "
+                         "timing (saves 4 small compiles)")
+    ap.add_argument("--use-pallas", default=None,
+                    choices=["auto", "on", "off"],
+                    help="force the Pallas kernel dispatch (on = the "
+                         "instance-tiled batched kernels on the lockstep "
+                         "path; auto = config default)")
     ap.add_argument("--chunk", type=int, default=128,
                     help="max instances per device call; larger batches run "
                          "as sequential chunks of one compiled executable. "
@@ -67,6 +198,11 @@ def main():
     # persistent compile cache: the dd-native IPM graph costs 200-450s to
     # compile on the tunneled dev TPU; cached executables reload across
     # processes in ~1/4 the time (measured)
+    # the axon sitecustomize force-registers its platform and ignores the
+    # JAX_PLATFORMS env var; re-apply it as a config update (cf. conftest)
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_socp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_enable_x64", True)
@@ -74,6 +210,7 @@ def main():
     from socp_tpu import SolverConfig
     from socp_tpu.models.robust_ls import robust_ls, robust_ls_batch
     from socp_tpu.utils import oracle
+    from socp_tpu.utils.metrics import emit, metric_record
 
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -82,7 +219,10 @@ def main():
         f"| native_dd={native_dd}")
 
     fd = None if args.factor_dtype in ("none", "") else args.factor_dtype
-    cfg = SolverConfig(factor_dtype=fd, native_dd=native_dd)
+    pallas = {None: None, "auto": None, "on": True, "off": False}[
+        args.use_pallas]
+    cfg = SolverConfig(factor_dtype=fd, native_dd=native_dd,
+                       use_pallas=pallas)
     c, G, h, dims = robust_ls_batch(0, batch=args.batch, n=args.n)
 
     chunk = min(args.chunk, args.batch)
@@ -131,35 +271,55 @@ def main():
     if ok < args.batch:
         log(f"WARNING: {args.batch - ok} instances not optimal")
 
-    # ---- MFU / roofline accounting (north star: report achieved per-chip
-    # utilization, not just throughput).  FLOP model for the dd-native
-    # iteration, robust-LS shape (p = 0):
-    #   * MXU (bf16): the Ozaki scheme runs every O(n^2 m) contraction as
-    #     28 bf16 slice-pair passes — Gram 28*2*n^2*m per factor, plus
-    #     ~12 presliced matvecs (residuals, rhs, refinement, dz) at
-    #     28*2*n*m each;
-    #   * VPU (f32): dd Cholesky ~ 25 f32 ops per dd flop * n^3 masked
-    #     (the right-looking masked form does n^3, not n^3/3), plus the
-    #     2 triangular passes * ~6 solves * 25*2*n^2.
+    # ---- measured KKT factorize / solve split (BASELINE primary metric)
     _, _, layout0 = prepared[0]
     m_pad = layout0.m_pad
-    n_ = c.shape[1]                       # actual variable count
-    mxu_per_iter = 28 * 2 * n_ * n_ * m_pad + 12 * 28 * 2 * n_ * m_pad
-    vpu_per_iter = 25 * (n_ ** 3) + 6 * 25 * 2 * n_ ** 2
+    n_ = c.shape[1]
+    factor_ms = solve_ms = None
+    if not args.no_kkt_split and native_dd:
+        try:
+            factor_ms, solve_ms = _kkt_split_ms(cfg, layout0,
+                layout0.pad_rows(G[:chunk]), chunk, n_)
+            log(f"KKT split (chunk of {chunk}): factorize {factor_ms:.2f} ms"
+                f" | back-solve {solve_ms:.2f} ms")
+        except Exception as exc:          # pragma: no cover - diagnostics
+            log(f"kkt-split skipped: {type(exc).__name__}: {exc}")
+
+    # ---- attainable-ceiling roofline (north star: measured distance to
+    # speed-of-light, not MXU-peak MFU for a VPU/HBM-bound loop)
+    hbm_b, mxu_f, vpu_f = _iteration_model(n_, m_pad, cfg.refine_steps)
     total_iters = float(iters.sum())
-    mxu_tflops = total_iters * mxu_per_iter / best / 1e12
-    vpu_tflops = total_iters * vpu_per_iter / best / 1e12
-    # bf16 MXU peaks by device kind; unknown kinds get no MFU claim
-    peaks = {"TPU v4": 275.0, "TPU v5 lite": 197.0, "TPU v5e": 197.0,
-             "TPU v5": 459.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0,
-             "TPU v6e": 918.0}
+    mxu_tflops = total_iters * mxu_f / best / 1e12
+    vpu_tflops = total_iters * vpu_f / best / 1e12
+    hbm_gbs = total_iters * hbm_b / best / 1e9
     kind = dev.device_kind if on_tpu else ""
-    peak_bf16 = next((v for k, v in peaks.items() if kind.startswith(k)),
-                     None) if on_tpu else None
-    mfu = (mxu_tflops / peak_bf16) if peak_bf16 else None
-    log(f"roofline: MXU {mxu_tflops:.2f} TFLOP/s (bf16)"
-        + (f" = {100*mfu:.2f}% of {kind} peak" if mfu is not None else "")
-        + f" | VPU-class dd arithmetic {vpu_tflops:.3f} TFLOP/s (f32)")
+    peaks = next((v for k, v in _PEAKS.items() if kind.startswith(k)), None)
+    mfu = attain_pct = None
+    if peaks:
+        peak_mxu, peak_hbm, peak_vpu = peaks
+        mfu = 100.0 * mxu_tflops / peak_mxu
+        # attainable chunk-lockstep-iteration time: every term at its own
+        # device peak, take the binding resource (per instance x chunk)
+        t_attain_ms = chunk * max(
+            hbm_b / (peak_hbm * 1e9),
+            mxu_f / (peak_mxu * 1e12),
+            vpu_f / (peak_vpu * 1e12),
+        ) * 1e3
+        attain_pct = 100.0 * t_attain_ms / lockstep_ms
+        bind = max(
+            (hbm_b / (peak_hbm * 1e9), "HBM"),
+            (mxu_f / (peak_mxu * 1e12), "MXU"),
+            (vpu_f / (peak_vpu * 1e12), "VPU"),
+        )[1]
+        log(f"roofline: achieved MXU {mxu_tflops:.2f} TF/s (bf16, "
+            f"{mfu:.2f}% of peak) | VPU-class dd {vpu_tflops:.3f} TF/s | "
+            f"HBM {hbm_gbs:.1f} GB/s || attainable iter {t_attain_ms:.2f} ms"
+            f" ({bind}-bound) vs measured {lockstep_ms:.2f} ms -> "
+            f"{attain_pct:.1f}% of attainable")
+    else:
+        log(f"roofline: model HBM {hbm_gbs:.1f} GB/s, MXU {mxu_tflops:.2f} "
+            f"TF/s, VPU {vpu_tflops:.3f} TF/s (no peak table for "
+            f"'{kind or 'cpu'}' — no utilization claim)")
 
     # single-core NumPy oracle baseline (stand-in for single-core Socp.jl).
     # CAVEAT: the oracle is a plain-NumPy reference implementation; a
@@ -174,14 +334,20 @@ def main():
     base = 1.0 / float(np.median(times))
     log(f"oracle baseline: {base:.2f} solves/s (median of 3)")
 
-    print(json.dumps({
-        "metric": "batched_robust_ls_solves_per_sec_at_1e-8_gap",
-        "value": round(solves_per_s, 2),
-        "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / base, 2),
-        "mfu_bf16_pct": round(100 * mfu, 3) if mfu is not None else None,
-        "lockstep_iter_ms": round(lockstep_ms, 2),
-    }))
+    emit(metric_record(
+        "c3_contract_B4096", "batched_robust_ls_solves_per_sec_at_1e-8_gap",
+        solves_per_s, "solves/s",
+        vs_baseline=solves_per_s / base,
+        solves_per_s=solves_per_s,
+        iters_per_s=iters_per_s,
+        kkt_factor_ms=factor_ms,
+        kkt_solve_ms=solve_ms,
+        lockstep_iter_ms=lockstep_ms,
+        mfu_bf16_pct=mfu,
+        achieved_vs_attainable_pct=attain_pct,
+        mesh_devices=1,
+        batch=args.batch, chunk=chunk, optimal=ok,
+    ))
 
 
 if __name__ == "__main__":

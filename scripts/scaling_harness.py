@@ -15,7 +15,6 @@ Usage:
 """
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -33,6 +32,10 @@ def main():
     ap.add_argument("--ring", action="store_true",
                     help="use the ppermute-ring Schur reduction")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--profile", metavar="LOGDIR", default=None,
+                    help="wrap the largest mesh's timed solve in a "
+                         "jax.profiler trace (docs/SCALING.md protocol 5); "
+                         "view with TensorBoard/Perfetto")
     args = ap.parse_args()
 
     import jax
@@ -47,15 +50,18 @@ def main():
     from socp_tpu import SolverConfig
     from socp_tpu.parallel.mesh import block_mesh
     from socp_tpu.parallel.schur import random_block_problem, solve_block
+    from socp_tpu.utils.metrics import emit, metric_record
+    from socp_tpu.utils.profiling import trace
 
     cfg = SolverConfig(ring_schur=args.ring, max_iter=20)
     ndev_avail = len(jax.devices())
+    sizes = [int(s) for s in args.sizes.split(",") if int(s) <= ndev_avail]
+    for skipped in (int(s) for s in args.sizes.split(",")
+                    if int(s) > ndev_avail):
+        print(f"# skip ndev={skipped}: only {ndev_avail} devices",
+              file=sys.stderr)
     base_time = None
-    for ndev in [int(s) for s in args.sizes.split(",")]:
-        if ndev > ndev_avail:
-            print(f"# skip ndev={ndev}: only {ndev_avail} devices",
-                  file=sys.stderr)
-            continue
+    for ndev in sizes:
         K = args.per_dev * ndev
         prob, _ = random_block_problem(0, K=K, nb=args.nb, p=args.p)
         mesh = block_mesh(ndev)
@@ -65,18 +71,23 @@ def main():
             t0 = time.time()
             out = solve_block(prob, mesh=mesh, config=cfg)
             best = min(best, time.time() - t0)
+        if args.profile and ndev == sizes[-1]:
+            # device-level trace of ONE solve at the largest mesh
+            with trace(args.profile) as logdir:
+                solve_block(prob, mesh=mesh, config=cfg)
+            print(f"# profiler trace -> {logdir}", file=sys.stderr)
         iters = max(out[5], 1)
         per_iter = best / iters
         if base_time is None:
             base_time = per_iter
         eff = base_time / per_iter     # weak scaling: ideal = 1.0
-        print(json.dumps({
-            "ndev": ndev, "blocks": K, "blocks_per_dev": args.per_dev,
-            "iters": out[5], "s_per_iter": round(per_iter, 5),
-            "weak_scaling_eff": round(eff, 3),
-            "ring": args.ring,
-            "backend": jax.default_backend(),
-        }))
+        emit(metric_record(
+            f"scaling_ndev{ndev}", "block_schur_iter_time", per_iter,
+            "s/iter", iters_per_s=1.0 / per_iter, mesh_devices=ndev,
+            blocks=K, blocks_per_dev=args.per_dev, iters=int(out[5]),
+            weak_scaling_eff=round(eff, 3), ring=args.ring,
+            backend=jax.default_backend(),
+        ))
 
 
 if __name__ == "__main__":

@@ -77,13 +77,15 @@ class SolverConfig:
     # SOC bucket granularity: block dims are padded up to a multiple of this
     # (and to >= 2) so heterogeneous cones batch into dense bucket arrays.
     bucket_multiple: int = 8
-    # VMEM-resident Pallas triangular-solve kernels for the dd KKT
-    # back-solves (one kernel per forward+backward pair instead of ~2n XLA
-    # dispatches; 4-16x faster at n=128-512, measured).  None = auto:
-    # enabled by api.solve for single-instance native_dd solves on TPU with
-    # n small enough that the factor fits VMEM; disabled for the batched
-    # lockstep path, where the vmap grid would serialize instances and the
-    # XLA columnwise substitution is already batch-parallel.
+    # VMEM-resident Pallas kernels for the dd KKT factor/back-solves (one
+    # kernel per factor or forward+backward pair instead of ~2n XLA
+    # dispatches; 4-16x faster at n=128-512 single-instance, measured).
+    # Batched lockstep solves route through INSTANCE-TILED variants (a
+    # (T, n, n) tile of instances per grid step via custom_vmap —
+    # ops/pallas_chol.py) rather than the serialized vmap grid.  None =
+    # auto: enabled by api.solve for single-instance native_dd solves on
+    # TPU with n small enough that the factor fits VMEM; the batched
+    # default follows measured results (see api._resolve_pallas).
     use_pallas: bool | None = None
     # Reduce the block-Schur complement S = sum_i A_i H_i^-1 A_i' with an
     # explicit ppermute ring instead of one monolithic psum (overlappable

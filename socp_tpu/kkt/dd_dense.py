@@ -58,10 +58,10 @@ class DDEqCholPallas(NamedTuple):
     LT: DD
 
     def solve(self, rhs: DD) -> DD:
-        from socp_tpu.ops.pallas_chol import tri_pair_solve
+        from socp_tpu.ops.pallas_chol import tri_pair_solve_v
 
         r = ddm.mul(rhs, DD(self.d.hi[:, None], self.d.lo[:, None]))
-        y = tri_pair_solve(self.L, self.LT, r)
+        y = tri_pair_solve_v(self.L, self.LT, r)
         return ddm.mul(y, DD(self.d.hi[:, None], self.d.lo[:, None]))
 
 
@@ -78,9 +78,9 @@ def _dd_eq_chol(M: DD, delta: float, pallas: bool = False) -> DDEqChol:
         eye = jnp.eye(n, dtype=jnp.float32)
         Mn = ddm.add(Mn, ddm.from_f32(jnp.float32(delta) * eye))
     if pallas and n > 0:
-        from socp_tpu.ops.pallas_chol import cholesky_dd
+        from socp_tpu.ops.pallas_chol import cholesky_dd_v
 
-        L = cholesky_dd(Mn)
+        L = cholesky_dd_v(Mn)
         return DDEqCholPallas(L=L, d=d, LT=L.T)
     L = dd_cholesky_blocked(Mn)
     return DDEqChol(L=L, d=d, LT=L.T)
@@ -231,9 +231,9 @@ def factor_dd(
             eye = jnp.eye(n_, dtype=jnp.float32)
             Hn = ddm.add(Hn, ddm.from_f32(jnp.float32(delta) * eye))
         if pallas:
-            from socp_tpu.ops.pallas_chol import cholesky_dd
+            from socp_tpu.ops.pallas_chol import cholesky_dd_v
 
-            L = cholesky_dd(Hn)      # VMEM-resident; ~2x the XLA blocked
+            L = cholesky_dd_v(Hn)      # VMEM-resident; ~2x the XLA blocked
             L_H = DDEqCholPallas(L=L, d=ddm.from_f32(d32), LT=L.T)
         else:
             L = dd_cholesky_blocked(Hn)

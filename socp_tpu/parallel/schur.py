@@ -519,12 +519,9 @@ def _compiled_block(layout: ConeLayout, cfg: SolverConfig, mesh: Mesh,
         in_specs=(blk, blk, blk, blk, rep, blk if has_P else rep),
         out_specs=(blk, rep, blk, blk, rep, rep, rep, rep),
         # collectives are elided on a 1-device mesh (see _core), which the
-        # varying-axes type check would reject; with ring_schur the check
-        # can't prove the ppermute-ring sum is replicated — it IS, by
-        # construction: ring_allreduce accumulates origin-ordered slots so
-        # every device sums in the identical association (bitwise equal),
-        # but that's a numerical invariant the type system can't see
-        check_vma=mesh.devices.size > 1 and not cfg.ring_schur,
+        # varying-axes type check would reject; the ring path satisfies the
+        # check via an explicit pbroadcast (collectives.ring_allreduce)
+        check_vma=mesh.devices.size > 1,
     )
     return jax.jit(mapped)
 

@@ -11,9 +11,15 @@ Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# SOCP_TPU_SMOKE=1 keeps the real TPU attached so `pytest -m tpu` can run
+# the compiled-kernel smoke suite on hardware (tests/test_tpu_smoke.py);
+# everything else runs on the faked CPU mesh.
+_TPU_SMOKE = os.environ.get("SOCP_TPU_SMOKE") == "1"
+
+if not _TPU_SMOKE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _TPU_SMOKE and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -26,5 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # not stick.  Override after import, before any backend is instantiated.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SMOKE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs a real TPU; run with SOCP_TPU_SMOKE=1 pytest -m tpu",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if _TPU_SMOKE:
+        return
+    skip_tpu = pytest.mark.skip(
+        reason="TPU smoke test (set SOCP_TPU_SMOKE=1 and run -m tpu)"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)

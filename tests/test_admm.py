@@ -83,6 +83,60 @@ def test_admm_checkpoint_resume(tmp_path):
                                atol=1e-12)
 
 
+def test_admm_scenario_chunked_matches_unchunked():
+    """scenario_chunk runs the inner solves in sequential chunks of one
+    compiled executable (the HBM-bounding path for the 65k-scenario
+    contract); per-instance freezing makes chunked == unchunked exactly."""
+    c, G, h, dims, A, b, info = scenario_portfolio(5, n=10, k=3,
+                                                   n_scenarios=8)
+    kw = dict(n_consensus=info["n"], A=A, b=b, rho=1.0, outer_iters=6,
+              tol=0.0)
+    base = admm_consensus(c, G, h, dims, **kw)
+    chnk = admm_consensus(c, G, h, dims, scenario_chunk=4, **kw)
+    assert chnk.inner_status_ok == base.inner_status_ok
+    np.testing.assert_allclose(chnk.w_bar, base.w_bar, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(chnk.x, base.x, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(chnk.primal_res, base.primal_res, rtol=1e-9)
+
+
+def test_admm_chunked_checkpoint_resume(tmp_path):
+    """Checkpoint/resume round-trips through the chunked path (warm starts
+    are concatenated into the snapshot and re-split on resume)."""
+    from socp_tpu.utils.checkpoint import SolverCheckpoint
+
+    c, G, h, dims, A, b, info = scenario_portfolio(6, n=10, k=3,
+                                                   n_scenarios=8)
+    kw = dict(n_consensus=info["n"], A=A, b=b, rho=1.0, tol=0.0,
+              scenario_chunk=4)
+    path = str(tmp_path / "admm_ck_chunk.npz")
+    full = admm_consensus(c, G, h, dims, outer_iters=6, **kw)
+    admm_consensus(c, G, h, dims, outer_iters=3,
+                   checkpoint_every=3, checkpoint_path=path, **kw)
+    ck = SolverCheckpoint.load(path)
+    assert ck.iteration == 3
+    resumed = admm_consensus(c, G, h, dims, outer_iters=6,
+                             resume_from=ck, **kw)
+    assert resumed.outer_iterations == 3
+    np.testing.assert_allclose(resumed.w_bar, full.w_bar, rtol=1e-12,
+                               atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 faked devices")
+def test_admm_chunked_sharded():
+    """scenario_chunk composes with a mesh-sharded scenario batch."""
+    from socp_tpu.parallel.mesh import batch_mesh
+
+    c, G, h, dims, A, b, info = scenario_portfolio(7, n=10, k=3,
+                                                   n_scenarios=16)
+    kw = dict(n_consensus=info["n"], A=A, b=b, rho=1.0, outer_iters=5,
+              tol=0.0)
+    base = admm_consensus(c, G, h, dims, **kw)
+    chnk = admm_consensus(c, G, h, dims, mesh=batch_mesh(8),
+                          scenario_chunk=8, **kw)
+    assert chnk.inner_status_ok
+    np.testing.assert_allclose(chnk.w_bar, base.w_bar, atol=1e-8)
+
+
 def test_admm_adaptive_rho_converges():
     """A deliberately bad initial rho must still converge via residual
     balancing (and report the adapted value)."""

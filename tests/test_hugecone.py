@@ -1,6 +1,6 @@
-"""One huge SOC sharded across the mesh (SURVEY.md section 5 long-context
-plan (a)): the sharded cone kernels + tall-skinny Gram KKT must match the
-single-device dense solver on the same problem."""
+"""Huge cones sharded across the mesh (SURVEY.md section 5 long-context
+plan (a)), dd32-native: the sharded cone kernels + tall-skinny Ozaki Gram
+KKT must match the single-device dense solver on the same problem."""
 
 import numpy as np
 import jax
@@ -8,7 +8,7 @@ import pytest
 
 import socp_tpu
 from socp_tpu import SolverConfig
-from socp_tpu.parallel.hugecone import solve_huge_soc
+from socp_tpu.parallel.hugecone import solve_huge, solve_huge_soc
 from socp_tpu.parallel.mesh import block_mesh
 from socp_tpu.problem import ConeDims, SocpProblem
 
@@ -98,3 +98,79 @@ def test_hugecone_pure_soc_no_orthant():
     ref = socp_tpu.solve(prob)
     assert out8[3].name == "OPTIMAL" and ref.status_name == "optimal"
     assert abs(out8[5][0] - ref.pcost) <= 1e-6 * max(1.0, abs(ref.pcost))
+
+
+def _multi_soc_problem(seed, n=8, l=5, qs=(9, 7), p=2):
+    """Strictly feasible bounded fixture: orthant + several SOCs +
+    coupling equalities, with a dense-solver cross-check."""
+    rng = np.random.default_rng(seed)
+    m = l + sum(qs)
+    G = rng.normal(size=(m, n)) / np.sqrt(n)
+    x_star = rng.normal(size=n)
+    s = np.empty(m)
+    s[:l] = rng.uniform(0.5, 1.5, l)
+    off = l
+    for q in qs:
+        tail = rng.normal(size=q - 1)
+        tail *= 0.3 / np.linalg.norm(tail)
+        s[off] = 1.0
+        s[off + 1 : off + q] = tail
+        off += q
+    h = G @ x_star + s
+    A = rng.normal(size=(p, n))
+    b = A @ x_star
+    c = -(G.T @ rng.uniform(0.1, 1.0, m) + A.T @ rng.normal(size=p))
+    return SocpProblem(c=c, G=G, h=h, dims=ConeDims(l=l, qs=qs), A=A, b=b)
+
+
+def test_hugecone_multi_soc_equalities_matches_dense():
+    """Round-3 scope lift: several huge SOCs + orthant + p coupling
+    equalities through the sharded dd path == the dense solver."""
+    prob = _multi_soc_problem(3)
+    ref = socp_tpu.solve(prob)
+    assert ref.status_name == "optimal"
+    x, y, s, z, status, k, stats = solve_huge(
+        prob.c, prob.G, prob.h, prob.dims.l, prob.dims.qs,
+        A=prob.A, b=prob.b, mesh=block_mesh(1),
+    )
+    assert status.name == "OPTIMAL"
+    assert abs(stats[0] - ref.pcost) <= 1e-6 * max(1.0, abs(ref.pcost))
+    np.testing.assert_allclose(x, ref.x, atol=1e-5)
+
+
+@requires_multidevice
+def test_hugecone_multi_soc_sharded_matches_single():
+    prob = _multi_soc_problem(4, n=10, l=8, qs=(25, 17), p=3)
+    out1 = solve_huge(prob.c, prob.G, prob.h, prob.dims.l, prob.dims.qs,
+                      A=prob.A, b=prob.b, mesh=block_mesh(1))
+    out8 = solve_huge(prob.c, prob.G, prob.h, prob.dims.l, prob.dims.qs,
+                      A=prob.A, b=prob.b, mesh=block_mesh(8))
+    assert out1[4].name == out8[4].name == "OPTIMAL"
+    np.testing.assert_allclose(out8[0], out1[0], atol=1e-6)
+    np.testing.assert_allclose(out8[6][:3], out1[6][:3], rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_hugecone_detects_dual_infeasible():
+    """min -t s.t. ||u|| <= t rides the SOC axis to -inf (mirror of
+    test_hugecone_detects_primal_infeasible; round-2 verdict weak #8)."""
+    from socp_tpu.models.random_socp import dual_infeasible_soc
+
+    prob = dual_infeasible_soc(0, q=12)
+    x, s, z, status, k, stats = solve_huge_soc(
+        prob.c, prob.G, prob.h, l=0, mesh=block_mesh(1)
+    )
+    assert status.name == "DUAL_INFEASIBLE"
+
+
+def test_hugecone_history_and_max_iter():
+    """Driver parity: history collection and the best-iterate/max-iter
+    exit path (stats stay finite, iterate restored)."""
+    prob = _multi_soc_problem(5)
+    cfg = SolverConfig(max_iter=3, collect_history=True)
+    out = solve_huge(prob.c, prob.G, prob.h, prob.dims.l, prob.dims.qs,
+                     A=prob.A, b=prob.b, mesh=block_mesh(1), config=cfg)
+    x, y, s, z, status, k, stats, hist = out
+    assert status.name in ("MAX_ITERATIONS", "OPTIMAL")
+    assert np.all(np.isfinite(stats))
+    assert hist.shape[1] == 6 and hist.shape[0] == k

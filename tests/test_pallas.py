@@ -85,3 +85,45 @@ def test_pallas_tri_pair_solve():
         np.asarray(x.astype_f64()), np.asarray(ref.astype_f64()),
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_pallas_instance_tiled_chol_batched():
+    """The instance-tiled batched kernel == per-instance XLA dd Cholesky,
+    including under vmap via the custom_vmap entry point (the lockstep
+    driver's route onto the tiled grid)."""
+    from socp_tpu.ops.pallas_chol import cholesky_dd_batched, cholesky_dd_v
+
+    rng = np.random.default_rng(4)
+    B, n = 8, 24
+    Hs = np.stack([_spd(rng, n, kappa=1e8) for _ in range(B)])
+    Hdd = ddm.from_f64(jnp.asarray(Hs))
+    L_tiled = jax.jit(lambda H: cholesky_dd_batched(H, tile=4))(Hdd)
+    L_vmap = jax.jit(jax.vmap(cholesky_dd_v))(Hdd)
+    ref = jax.vmap(dd_cholesky)(Hdd)
+    for L in (L_tiled, L_vmap):
+        np.testing.assert_allclose(
+            np.asarray(L.astype_f64()), np.asarray(ref.astype_f64()),
+            rtol=1e-9, atol=1e-11,
+        )
+
+
+def test_pallas_instance_tiled_tri_batched():
+    from socp_tpu.ops.dd_linalg import dd_chol_solve, dd_cholesky_blocked
+    from socp_tpu.ops.pallas_chol import (tri_pair_solve_batched,
+                                          tri_pair_solve_v)
+
+    rng = np.random.default_rng(5)
+    B, n = 8, 24
+    Hs = np.stack([_spd(rng, n, kappa=1e8) for _ in range(B)])
+    Hdd = ddm.from_f64(jnp.asarray(Hs))
+    L = jax.vmap(dd_cholesky_blocked)(Hdd)
+    LT = ddm.DD(jnp.swapaxes(L.hi, 1, 2), jnp.swapaxes(L.lo, 1, 2))
+    b = ddm.from_f64(jnp.asarray(rng.standard_normal((B, n, 1))))
+    x_tiled = jax.jit(lambda *a: tri_pair_solve_batched(*a, tile=4))(L, LT, b)
+    x_vmap = jax.jit(jax.vmap(tri_pair_solve_v))(L, LT, b)
+    ref = jax.vmap(dd_chol_solve)(L, b)
+    for x in (x_tiled, x_vmap):
+        np.testing.assert_allclose(
+            np.asarray(x.astype_f64()), np.asarray(ref.astype_f64()),
+            rtol=1e-10, atol=1e-12,
+        )
