@@ -294,6 +294,22 @@ def main():
     hbm_gbs = total_iters * hbm_b / best / 1e9
     kind = dev.device_kind if on_tpu else ""
     peaks = next((v for k, v in _PEAKS.items() if kind.startswith(k)), None)
+    # prefer measured peaks (scripts/roofline.py) over the vendor table —
+    # the attainable ceiling should be what a real kernel on THIS chip can
+    # reach, not a datasheet number
+    try:
+        import json as _json
+        import os as _os2
+        with open(_os2.path.join(_os2.path.dirname(
+                _os2.path.abspath(__file__)), "ROOFLINE.json")) as f:
+            r = _json.load(f)
+        if on_tpu and r.get("device_kind") == kind:
+            peaks = (r["mxu_bf16_tflops"], r["hbm_stream_gbs"],
+                     r["vpu_f32_tflops"])
+            log(f"roofline denominators: measured (ROOFLINE.json) "
+                f"MXU {peaks[0]} TF/s HBM {peaks[1]} GB/s VPU {peaks[2]} TF/s")
+    except (OSError, KeyError, ValueError):
+        pass
     mfu = attain_pct = None
     if peaks:
         peak_mxu, peak_hbm, peak_vpu = peaks

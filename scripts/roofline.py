@@ -109,12 +109,20 @@ def main():
     print(f"MXU bf16: {mxu_tf:.1f} TFLOP/s ({n}x{n} chained matmuls)",
           file=sys.stderr)
 
-    print(json.dumps({
+    rec = {
         "device_kind": dev.device_kind,
         "hbm_stream_gbs": round(hbm_gbs, 1),
         "vpu_f32_tflops": round(vpu_tf, 2),
         "mxu_bf16_tflops": round(mxu_tf, 1),
-    }))
+    }
+    print(json.dumps(rec))
+    # persist for bench.py: measured peaks are the honest attainable
+    # denominators (vendor figures overstate; see module docstring)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ROOFLINE.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -714,7 +714,7 @@ def _compiled(cfg: SolverConfig, mesh: Mesh, axis: str, n_soc: int, p: int):
     return jax.jit(mapped)
 
 
-def solve_huge(
+def prepare_huge(
     c: np.ndarray,            # (n,)
     G: np.ndarray,            # (m, n): orthant rows, then SOC blocks in order
     h: np.ndarray,            # (m,)
@@ -725,14 +725,13 @@ def solve_huge(
     mesh: Optional[Mesh] = None,
     config: SolverConfig = DEFAULT_CONFIG,
 ):
-    """Solve min c'x s.t. Ax = b, Gx + s = h, s in R+^l x Q^q1 x ... with
-    the cone vector sharded across `mesh` (sum(qs) may vastly exceed one
-    device's comfort); dd32-native throughout.
-
-    Returns (x, y, s, z, status, iterations, stats) with stats in the
-    driver-parity layout [pcost, dcost, gap, relgap, pres, dres,
-    inaccurate_flag]; s, z are reassembled full-length on host.  With
-    config.collect_history the per-iteration table is appended.
+    """Device-resident preparation for the huge-cone solve: pads/splits the
+    problem into the head/tail layout, places it on `mesh` ONCE, and
+    returns `(fn, dev_args, assemble)` where `fn(*dev_args)` runs the
+    sharded dd IPM and `assemble(out)` builds the host result tuple.
+    Mirrors `socp_tpu.prepare_batch` — repeat solves (bench reps, warm
+    sweeps) reuse the upload and the compiled executable instead of
+    re-shipping the (m, n)-sized G through the host link per call.
     """
     from socp_tpu.parallel.mesh import block_mesh
 
@@ -781,7 +780,6 @@ def solve_huge(
         put(h_t, P(None, axis)), put(A_h, P()), put(b_h, P()),
     )
     fn = _compiled(config, mesh, axis, n_soc, p)
-    (x, y, s_o, s_H, s_t, z_o, z_H, z_t, status, k, stats, hist) = fn(*args)
 
     def gather(o, hd, tl):
         o = np.asarray(o, np.float64)[:l]
@@ -793,14 +791,43 @@ def solve_huge(
             pieces.append(tl[i, : q - 1])
         return np.concatenate(pieces)
 
-    out = (
-        np.asarray(x, np.float64), np.asarray(y, np.float64),
-        gather(s_o, s_H, s_t), gather(z_o, z_H, z_t),
-        Status(int(status)), int(k), np.asarray(stats, np.float64),
-    )
-    if config.collect_history:
-        out = out + (np.asarray(hist, np.float64)[: int(k)],)
-    return out
+    def assemble(raw):
+        (x, y, s_o, s_H, s_t, z_o, z_H, z_t, status, k, stats, hist) = raw
+        out = (
+            np.asarray(x, np.float64), np.asarray(y, np.float64),
+            gather(s_o, s_H, s_t), gather(z_o, z_H, z_t),
+            Status(int(status)), int(k), np.asarray(stats, np.float64),
+        )
+        if config.collect_history:
+            out = out + (np.asarray(hist, np.float64)[: int(k)],)
+        return out
+
+    return fn, args, assemble
+
+
+def solve_huge(
+    c: np.ndarray,
+    G: np.ndarray,
+    h: np.ndarray,
+    l: int,
+    qs: tuple[int, ...],
+    A: Optional[np.ndarray] = None,
+    b: Optional[np.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+    config: SolverConfig = DEFAULT_CONFIG,
+):
+    """Solve min c'x s.t. Ax = b, Gx + s = h, s in R+^l x Q^q1 x ... with
+    the cone vector sharded across `mesh` (sum(qs) may vastly exceed one
+    device's comfort); dd32-native throughout.
+
+    Returns (x, y, s, z, status, iterations, stats) with stats in the
+    driver-parity layout [pcost, dcost, gap, relgap, pres, dres,
+    inaccurate_flag]; s, z are reassembled full-length on host.  With
+    config.collect_history the per-iteration table is appended.
+    """
+    fn, args, assemble = prepare_huge(c, G, h, l, qs, A=A, b=b, mesh=mesh,
+                                      config=config)
+    return assemble(fn(*args))
 
 
 def solve_huge_soc(
