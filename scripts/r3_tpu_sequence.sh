@@ -21,6 +21,7 @@ run() {
 STEP_TIMEOUT=1200 run step1_roofline python scripts/roofline.py
 STEP_TIMEOUT=3600 run step2_bench_default python bench.py
 STEP_TIMEOUT=3600 run step3_bench_pallas_on python bench.py --use-pallas on
+STEP_TIMEOUT=3600 run step3b_bench_gondzio0 python bench.py --gondzio 0
 STEP_TIMEOUT=1800 run step4_c1_split python scripts/c1_split.py
 STEP_TIMEOUT=7200 run step5_bench_all python scripts/bench_all.py --scale full
 STEP_TIMEOUT=3600 run step6_hugecone python scripts/hugecone_bench.py

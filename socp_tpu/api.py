@@ -64,22 +64,33 @@ _PALLAS_MAX_N = 768
 
 
 def _resolve_pallas(config: SolverConfig, n: int, batch: int = 1) -> SolverConfig:
-    """Resolve use_pallas=None (auto) to a concrete bool (see config.py).
+    """Resolve the None (auto) config fields to concrete values.
 
-    Batched solves keep the XLA substitution beyond a few instances: a
-    vmapped pallas_call serializes instances over the grid, while the XLA
-    columnwise substitution is batch-parallel."""
-    if config.use_pallas is not None:
-        return config
-    auto = (
-        batch <= 4
-        and config.native_dd
-        and n <= _PALLAS_MAX_N
-        and jax.default_backend() == "tpu"
-    )
+    use_pallas: batched solves keep the XLA substitution beyond a few
+    instances — a vmapped pallas_call serializes instances over the grid,
+    while the XLA columnwise substitution is batch-parallel.
+
+    gondzio_correctors: 1 on TPU native_dd paths (the dd factorization
+    dominates an iteration there, so one extra back-solve per corrector
+    buys a measured ~16-21% iteration-count cut — scripts/gondzio_iters.py);
+    0 elsewhere so CPU/f64 runs stay iteration-comparable to the oracle."""
     import dataclasses
 
-    return dataclasses.replace(config, use_pallas=auto)
+    on_tpu = jax.default_backend() == "tpu"
+    if config.use_pallas is None:
+        auto = (
+            batch <= 4
+            and config.native_dd
+            and n <= _PALLAS_MAX_N
+            and on_tpu
+        )
+        config = dataclasses.replace(config, use_pallas=auto)
+    if config.gondzio_correctors is None:
+        config = dataclasses.replace(
+            config,
+            gondzio_correctors=1 if (config.native_dd and on_tpu) else 0,
+        )
+    return config
 
 
 def solve(

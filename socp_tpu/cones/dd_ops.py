@@ -146,6 +146,29 @@ def lambda_min(layout: ConeLayout, u: DD) -> jax.Array:
     return jnp.min(jnp.stack(vals)) if vals else jnp.float32(jnp.inf)
 
 
+def eig_clip_delta(layout: ConeLayout, v: DD, lo, hi) -> DD:
+    """clip(v, [lo, hi]) - v in the Jordan spectral sense (see
+    ops.eig_clip_delta).  Hi-word f32 arithmetic throughout — the Gondzio
+    corrector target this feeds is a centrality heuristic, and the delta
+    is exactly zero on in-band blocks, so no dd accuracy is needed."""
+    vo = _orth(layout, v).hi
+    pieces = [ddm.from_f32(jnp.clip(vo, lo, hi) - vo)]
+    for vb_dd in _views(layout, v):
+        vb = vb_dd.hi
+        n1 = jnp.sqrt(
+            jnp.maximum(jnp.sum(vb * vb, axis=1) - vb[:, 0] ** 2, 0.0)
+        )
+        lp = vb[:, 0] + n1
+        lm = vb[:, 0] - n1
+        dp = jnp.clip(lp, lo, hi) - lp
+        dm = jnp.clip(lm, lo, hi) - lm
+        fac = 0.5 * (dp - dm) / jnp.where(n1 > 0, n1, 1.0)
+        out = vb * fac[:, None]
+        out = out.at[:, 0].set(0.5 * (dp + dm))
+        pieces.append(ddm.from_f32(out))
+    return _flat(pieces)
+
+
 def max_step(layout: ConeLayout, u: DD, du: DD) -> jax.Array:
     """sup{alpha >= 0 : u + alpha du in K} (f32 scalar; see ops.max_step)."""
     inf = jnp.float32(jnp.inf)

@@ -92,6 +92,34 @@ def lambda_min(layout: ConeLayout, u: jax.Array) -> jax.Array:
     return jnp.min(jnp.stack(vals)) if vals else jnp.asarray(jnp.inf, u.dtype)
 
 
+def eig_clip_delta(layout: ConeLayout, v: jax.Array, lo, hi) -> jax.Array:
+    """clip(v, [lo, hi]) - v in the Jordan spectral sense, per block.
+
+    Orthant coordinates clip elementwise.  Each SOC block's spectral values
+    lam_pm = v0 +- ||v1|| clip independently; the returned delta is
+    (dp + dm)/2 e0 + (dp - dm)/2 * (0, v1/||v1||), which is EXACTLY zero on
+    blocks already inside the band (dp = dm = 0 => both terms vanish), so a
+    corrector built from it perturbs only outlier blocks.  Used by the
+    Gondzio centrality correctors (the target is a heuristic — plain
+    working-precision arithmetic suffices).
+    """
+    vo = _orth(layout, v)
+    pieces = [jnp.clip(vo, lo, hi) - vo]
+    for vb in _views(layout, v):
+        n1 = jnp.sqrt(
+            jnp.maximum(jnp.sum(vb * vb, axis=1) - vb[:, 0] ** 2, 0.0)
+        )
+        lp = vb[:, 0] + n1
+        lm = vb[:, 0] - n1
+        dp = jnp.clip(lp, lo, hi) - lp
+        dm = jnp.clip(lm, lo, hi) - lm
+        fac = 0.5 * (dp - dm) / jnp.where(n1 > 0, n1, 1.0)
+        out = vb * fac[:, None]
+        out = out.at[:, 0].set(0.5 * (dp + dm))
+        pieces.append(out)
+    return _flat(pieces)
+
+
 def max_step(layout: ConeLayout, u: jax.Array, du: jax.Array) -> jax.Array:
     """sup{alpha >= 0 : u + alpha du in K} for interior u (inf if unbounded).
 

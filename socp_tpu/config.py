@@ -92,6 +92,20 @@ class SolverConfig:
     # ICI hops; SURVEY.md 7.3.5).  Equivalent numerics up to reassociation;
     # opt-in until pod-scale measurements exist.
     ring_schur: bool = False
+    # Gondzio multiple centrality correctors: after the Mehrotra combined
+    # direction, up to this many extra correctors are computed, each from
+    # ONE additional (unrefined) back-solve on the already-factored KKT.
+    # A corrector pushes the TRIAL point's Jordan spectral products back
+    # into [0.1, 10] x sigma*mu (only outlier blocks are touched —
+    # cones.ops.eig_clip_delta) and is accepted per instance only if it
+    # lengthens the step by >= 0.01 (Gondzio's gamma*delta rule).  Cuts
+    # iteration counts on hard/large instances for ~5% extra work per
+    # corrector; 0 = classic Mehrotra only.  None = auto (resolved by
+    # api.solve*): 1 on TPU native_dd paths — there the dd factorization
+    # dominates the iteration so trading one cheap back-solve for ~16-21%
+    # fewer iterations (measured, scripts/gondzio_iters.py) is a clear
+    # win — and 0 elsewhere (keeps CPU/f64 runs oracle-comparable).
+    gondzio_correctors: int | None = None
     # Warm-start recentering: a supplied (x, y, s, z) start has its s and z
     # lifted along the cone identity until their smallest Jordan eigenvalue
     # is >= warm_push x the iterate's own mean magnitude.  A warm point ON

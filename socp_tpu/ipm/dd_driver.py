@@ -285,13 +285,49 @@ def solve_core_dd(
             ddm.mul_f32(e, sigma * mu),
         )
         dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
-        ds = dd_ops.apply_W(layout, scaling, ds_sc)
 
         alpha = jnp.minimum(
             dd_ops.max_step(layout, lam, ds_sc),
             dd_ops.max_step(layout, lam, dz_sc),
         )
         alpha = jnp.minimum(1.0, cfg.step_frac * alpha)
+
+        # ---- Gondzio multiple centrality correctors (config.py): push the
+        # trial point's outlier Jordan products into [0.1, 10] x sigma*mu
+        # with one extra unrefined back-solve each; accept per instance
+        # only if the cone step lengthens by >= 0.01.
+        for _ in range(cfg.gondzio_correctors or 0):
+            zn = ddm.from_f32(jnp.zeros((n,), jnp.float32))
+            zp = ddm.from_f32(jnp.zeros((p,), jnp.float32))
+            mu_t = sigma * mu
+            a_hat = jnp.minimum(alpha / cfg.step_frac + 0.1, 1.0)
+            v_s = _axpy(lam, a_hat, ds_sc)
+            v_z = _axpy(lam, a_hat, dz_sc)
+            vprod = dd_ops.jprod(layout, v_s, v_z)
+            t = dd_ops.eig_clip_delta(layout, vprod,
+                                      0.1 * mu_t, 10.0 * mu_t)
+            # corrector Newton: zero residual parts, target lam o (ds+dz)=t
+            dtil_c = dd_ops.jdiv(layout, lam, t.neg())
+            rhs_zc = dd_ops.apply_W(layout, scaling, dtil_c)
+            dxc, dyc, dzc, _ = refined(kkt, zn, zp, rhs_zc, steps=0)
+            dz_sc_c = dd_ops.apply_W(layout, scaling, dzc)
+            ds_sc_c = ddm.add(dtil_c, dz_sc_c).neg()
+            c_ds_sc = ddm.add(ds_sc, ds_sc_c)
+            c_dz_sc = ddm.add(dz_sc, dz_sc_c)
+            alpha_c = jnp.minimum(
+                dd_ops.max_step(layout, lam, c_ds_sc),
+                dd_ops.max_step(layout, lam, c_dz_sc),
+            )
+            alpha_c = jnp.minimum(1.0, cfg.step_frac * alpha_c)
+            accept = alpha_c >= alpha + 0.01
+            dx = ddm.where(accept, ddm.add(dx, dxc), dx)
+            dy = ddm.where(accept, ddm.add(dy, dyc), dy)
+            dz = ddm.where(accept, ddm.add(dz, dzc), dz)
+            ds_sc = ddm.where(accept, c_ds_sc, ds_sc)
+            dz_sc = ddm.where(accept, c_dz_sc, dz_sc)
+            alpha = jnp.where(accept, alpha_c, alpha)
+
+        ds = dd_ops.apply_W(layout, scaling, ds_sc)
 
         step_finite = (
             jnp.isfinite(alpha)

@@ -235,13 +235,50 @@ def solve_core(
         # combined (corrector) with second-order term
         d_s = lam2 + cops.jprod(layout, ds_sc_a, dz_sc_a) - sigma * mu * e
         dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
-        ds = cops.apply_W(layout, scaling, ds_sc)
 
         alpha = jnp.minimum(
             cops.max_step(layout, lam, ds_sc),
             cops.max_step(layout, lam, dz_sc),
         )
         alpha = jnp.minimum(1.0, cfg.step_frac * alpha)
+
+        # ---- Gondzio multiple centrality correctors (config.py): push the
+        # trial point's outlier Jordan products into [0.1, 10] x sigma*mu
+        # with one extra unrefined back-solve each; accept per instance
+        # only if the cone step lengthens by >= 0.01.
+        for _ in range(cfg.gondzio_correctors or 0):
+            mu_t = sigma * mu
+            a_hat = jnp.minimum(alpha / cfg.step_frac + 0.1, 1.0)
+            v_s = lam + a_hat * ds_sc
+            v_z = lam + a_hat * dz_sc
+            vprod = cops.jprod(layout, v_s, v_z)
+            t = cops.eig_clip_delta(layout, vprod,
+                                    0.1 * mu_t, 10.0 * mu_t)
+            # corrector Newton: zero residual parts, target lam o (ds+dz)=t
+            dtil_c = cops.jdiv(layout, lam, -t)
+            rhs_zc = cops.apply_W(layout, scaling, dtil_c)
+            dxc, dyc, dzc, _ = refined(
+                kkt, jnp.zeros((n,), dtype), jnp.zeros((p,), dtype),
+                rhs_zc, steps=0,
+            )
+            dz_sc_c = cops.apply_W(layout, scaling, dzc)
+            ds_sc_c = -(dtil_c + dz_sc_c)
+            c_ds_sc = ds_sc + ds_sc_c
+            c_dz_sc = dz_sc + dz_sc_c
+            alpha_c = jnp.minimum(
+                cops.max_step(layout, lam, c_ds_sc),
+                cops.max_step(layout, lam, c_dz_sc),
+            )
+            alpha_c = jnp.minimum(1.0, cfg.step_frac * alpha_c)
+            accept = alpha_c >= alpha + 0.01
+            dx = jnp.where(accept, dx + dxc, dx)
+            dy = jnp.where(accept, dy + dyc, dy)
+            dz = jnp.where(accept, dz + dzc, dz)
+            ds_sc = jnp.where(accept, c_ds_sc, ds_sc)
+            dz_sc = jnp.where(accept, c_dz_sc, dz_sc)
+            alpha = jnp.where(accept, alpha_c, alpha)
+
+        ds = cops.apply_W(layout, scaling, ds_sc)
 
         step_finite = (
             jnp.isfinite(alpha)
