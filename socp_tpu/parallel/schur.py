@@ -103,6 +103,8 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
     v_jdiv = jax.vmap(functools.partial(cops.jdiv, layout))
     v_lmin = jax.vmap(functools.partial(cops.lambda_min, layout))
     v_maxstep = jax.vmap(functools.partial(cops.max_step, layout))
+    v_eigclip = jax.vmap(functools.partial(cops.eig_clip_delta, layout),
+                         in_axes=(0, None, None))
     v_chol = jax.vmap(functools.partial(_eq_chol, delta=cfg.delta_reg))
     v_solve = jax.vmap(lambda f, r: f.solve(r))
 
@@ -376,13 +378,47 @@ def _core(layout: ConeLayout, cfg: SolverConfig, axis: str, ndev: int,
 
         d_s = lam2 + v_jprod(ds_sc_a, dz_sc_a) - sigma * mu * e
         dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
-        ds = v_W(scaling, ds_sc)
 
         alpha = jnp.minimum(
             pmin(jnp.min(v_maxstep(lam, ds_sc))),
             pmin(jnp.min(v_maxstep(lam, dz_sc))),
         )
         alpha = jnp.minimum(1.0, cfg.step_frac * alpha)
+
+        # ---- Gondzio centrality correctors (config.py / ipm/driver.py):
+        # one extra UNREFINED block-KKT solve each (the block factors and
+        # the Schur factor are reused; the psum in the Schur RHS is the
+        # only extra collective), accepted only if the global step
+        # lengthens — the accept scalar is replicated because alpha_c is
+        # built from pmin-reduced quantities.
+        for _ in range(cfg.gondzio_correctors or 0):
+            mu_t = sigma * mu
+            a_hat = jnp.minimum(alpha / cfg.step_frac + 0.1, 1.0)
+            vprod = v_jprod(lam + a_hat * ds_sc, lam + a_hat * dz_sc)
+            t = v_eigclip(vprod, 0.1 * mu_t, 10.0 * mu_t)
+            dtil_c = v_jdiv(lam, -t)
+            dxc, dyc, dzc = kkt_solve_once(
+                fac, jnp.zeros_like(rx), jnp.zeros_like(ry),
+                v_W(scaling, dtil_c),
+            )
+            dz_sc_c = v_W(scaling, dzc)
+            ds_sc_c = -(dtil_c + dz_sc_c)
+            c_ds_sc = ds_sc + ds_sc_c
+            c_dz_sc = dz_sc + dz_sc_c
+            alpha_c = jnp.minimum(
+                pmin(jnp.min(v_maxstep(lam, c_ds_sc))),
+                pmin(jnp.min(v_maxstep(lam, c_dz_sc))),
+            )
+            alpha_c = jnp.minimum(1.0, cfg.step_frac * alpha_c)
+            accept = alpha_c >= alpha + 0.01
+            dx = jnp.where(accept, dx + dxc, dx)
+            dy = jnp.where(accept, dy + dyc, dy)
+            dz = jnp.where(accept, dz + dzc, dz)
+            ds_sc = jnp.where(accept, c_ds_sc, ds_sc)
+            dz_sc = jnp.where(accept, c_dz_sc, dz_sc)
+            alpha = jnp.where(accept, alpha_c, alpha)
+
+        ds = v_W(scaling, ds_sc)
 
         step_finite = (
             jnp.isfinite(alpha) & (alpha > 0)
@@ -550,6 +586,14 @@ def solve_block(
     if K % ndev != 0:
         raise ValueError(f"blocks {K} not divisible by mesh size {ndev}")
     dtype = dtype or default_dtype()
+    if config.gondzio_correctors is None:
+        # same auto rule as api._resolve_pallas: the per-block factor +
+        # Schur assembly dominates a TPU iteration, so one extra back-solve
+        # per corrector is cheap; CPU runs stay corrector-free by default
+        config = dataclasses.replace(
+            config,
+            gondzio_correctors=1 if jax.default_backend() == "tpu" else 0,
+        )
 
     layout = make_layout(prob.block_dims, config.bucket_multiple)
     has_P = prob.P is not None

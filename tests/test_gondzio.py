@@ -5,6 +5,7 @@ The corrector machinery has two testable layers: the spectral clip
 blocks land inside the band) and the driver integration (same answers,
 never-worse step behavior, both carry precisions)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -88,3 +89,37 @@ def test_gondzio_portfolio_converges():
     r = socp_tpu.solve(prob, config=SolverConfig(gondzio_correctors=2))
     assert r.status_name == "optimal"
     assert r.gap <= 1e-7
+
+
+def test_gondzio_block_schur_same_answer():
+    """The block-Schur driver's corrector (per-block vmapped clip, pmin'd
+    accept) must not change the optimum it converges to."""
+    from socp_tpu.parallel.mesh import block_mesh
+    from socp_tpu.parallel.schur import random_block_problem, solve_block
+
+    prob, _ = random_block_problem(0, K=4, nb=6, p=3)
+    mesh = block_mesh(1)
+    out0 = solve_block(prob, mesh=mesh,
+                       config=SolverConfig(gondzio_correctors=0))
+    out1 = solve_block(prob, mesh=mesh,
+                       config=SolverConfig(gondzio_correctors=2))
+    assert int(out0[4]) == int(out1[4]) == 0          # both OPTIMAL
+    np.testing.assert_allclose(out1[6][0], out0[6][0], rtol=1e-7, atol=1e-9)
+    assert float(out1[6][2]) <= 1e-7                  # gap
+    assert int(out1[5]) <= int(out0[5]) + 1           # never slower
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 faked devices")
+def test_gondzio_block_schur_sharded():
+    """Corrector under the REAL 8-device shard_map (psum'd Schur RHS,
+    pmin'd accept must be replicated-typed through check_vma)."""
+    from socp_tpu.parallel.mesh import block_mesh
+    from socp_tpu.parallel.schur import random_block_problem, solve_block
+
+    prob, _ = random_block_problem(1, K=8, nb=6, p=3)
+    cfg = SolverConfig(gondzio_correctors=1)
+    out1 = solve_block(prob, mesh=block_mesh(1), config=cfg)
+    out8 = solve_block(prob, mesh=block_mesh(8), config=cfg)
+    assert int(out1[4]) == int(out8[4]) == 0
+    np.testing.assert_allclose(out8[6][:3], out1[6][:3], rtol=1e-6,
+                               atol=1e-9)
