@@ -593,12 +593,65 @@ def _core(cfg: SolverConfig, axis: str, ndev: int, n_soc: int, p: int,
                    _hmap(lambda ee: ddm.mul_f32(ee, sigma * mu), e))
         (ltd2,) = tdots((lam, d_s))
         dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s, ltd2)
-        ds = apply_W(sc, ds_sc)
         ds_ds, dz_dz, l_ds, l_dz = tdots(
             (ds_sc, ds_sc), (dz_sc, dz_sc), (lam, ds_sc), (lam, dz_sc))
         alpha = jnp.minimum(1.0, cfg.step_frac * jnp.minimum(
             max_step(lam, ds_sc, ltl, ds_ds, l_ds),
             max_step(lam, dz_sc, ltl, dz_dz, l_dz)))
+
+        # ---- Gondzio centrality correctors (config.py / ipm/driver.py in
+        # head/tail form): each costs ONE unrefined back-solve on the
+        # replicated factor plus a few tail reductions, while every saved
+        # iteration avoids a full sharded Gram — the dominant cost here.
+        # Replication: the clip factors derive from gathered tail dots, so
+        # the head/orth deltas are replicated and the tail delta is a
+        # replicated scalar times the local tail shard.
+        for _ in range(cfg.gondzio_correctors or 0):
+            mu_t = sigma * mu
+            lo_b, hi_b = 0.1 * mu_t, 10.0 * mu_t
+            a_hat = jnp.minimum(alpha / cfg.step_frac + 0.1, 1.0)
+            v_s = axpy(lam, a_hat, ds_sc)
+            v_z = axpy(lam, a_hat, dz_sc)
+            (vs_vz,) = tdots((v_s, v_z))
+            vprod = jprod(v_s, v_z, vs_vz)
+            (vp_tt,) = tdots((vprod, vprod))
+            # spectral clip delta, f32-grade (heuristic target; exactly
+            # zero on in-band blocks — see cones.ops.eig_clip_delta)
+            n1 = jnp.sqrt(jnp.maximum(vp_tt.hi, 0.0))        # (N,)
+            lp = vprod.head.hi + n1
+            lm = vprod.head.hi - n1
+            dp = jnp.clip(lp, lo_b, hi_b) - lp
+            dm = jnp.clip(lm, lo_b, hi_b) - lm
+            fcl = 0.5 * (dp - dm) / jnp.where(n1 > 0, n1, 1.0)
+            vo = vprod.orth.hi
+            t = HV(ddm.from_f32(jnp.clip(vo, lo_b, hi_b) - vo),
+                   ddm.from_f32(0.5 * (dp + dm)),
+                   ddm.from_f32(vprod.tail.hi * fcl[:, None]))
+            tn = vneg(t)
+            (l_tn,) = tdots((lam, tn))
+            dtil_c = jdiv(lam, tn, ltl, l_tn)
+            dxc, dyc, dzc = kkt_solve_once(
+                f, ddm.from_f32(jnp.zeros_like(c.hi)),
+                ddm.from_f32(jnp.zeros_like(b.hi)),
+                apply_W(sc, dtil_c))
+            dz_sc_c = apply_W(sc, dzc)
+            ds_sc_c = vneg(vadd(dtil_c, dz_sc_c))
+            c_ds = vadd(ds_sc, ds_sc_c)
+            c_dz = vadd(dz_sc, dz_sc_c)
+            cs_cs, cz_cz, l_cs, l_cz = tdots(
+                (c_ds, c_ds), (c_dz, c_dz), (lam, c_ds), (lam, c_dz))
+            alpha_c = jnp.minimum(1.0, cfg.step_frac * jnp.minimum(
+                max_step(lam, c_ds, ltl, cs_cs, l_cs),
+                max_step(lam, c_dz, ltl, cz_cz, l_cz)))
+            accept = alpha_c >= alpha + 0.01
+            dx = ddm.where(accept, ddm.add(dx, dxc), dx)
+            dy = ddm.where(accept, ddm.add(dy, dyc), dy)
+            dz = hwhere(accept, vadd(dz, dzc), dz)
+            ds_sc = hwhere(accept, c_ds, ds_sc)
+            dz_sc = hwhere(accept, c_dz, dz_sc)
+            alpha = jnp.where(accept, alpha_c, alpha)
+
+        ds = apply_W(sc, ds_sc)
 
         step_finite = (
             jnp.isfinite(alpha) & (alpha > 0)
@@ -733,7 +786,17 @@ def prepare_huge(
     sweeps) reuse the upload and the compiled executable instead of
     re-shipping the (m, n)-sized G through the host link per call.
     """
+    import dataclasses
+
     from socp_tpu.parallel.mesh import block_mesh
+
+    if config.gondzio_correctors is None:
+        # same auto rule as api._resolve_pallas: every saved iteration
+        # avoids a full sharded Gram on TPU; CPU stays corrector-free
+        config = dataclasses.replace(
+            config,
+            gondzio_correctors=1 if jax.default_backend() == "tpu" else 0,
+        )
 
     mesh = mesh or block_mesh()
     (axis,) = mesh.axis_names

@@ -109,6 +109,65 @@ def test_gondzio_block_schur_same_answer():
     assert int(out1[5]) <= int(out0[5]) + 1           # never slower
 
 
+def test_gondzio_hugecone_same_answer():
+    """Head/tail-form corrector in the sharded huge-cone driver: same
+    optimum, never meaningfully slower."""
+    from socp_tpu.parallel.hugecone import solve_huge
+    from socp_tpu.parallel.mesh import block_mesh
+
+    rng = np.random.default_rng(5)
+    n, l, q = 10, 6, 33
+    m = l + q
+    G = np.zeros((m, n)); h = np.zeros(m)
+    for i in range(l // 2):
+        G[2 * i, i] = 1.0; G[2 * i + 1, i] = -1.0
+        h[2 * i] = h[2 * i + 1] = 2.0
+    a = rng.normal(size=n) * 0.1
+    B = rng.normal(size=(q - 1, n)) / np.sqrt(n)
+    G[l] = -a; h[l] = 5.0
+    G[l + 1:] = -B; h[l + 1:] = -rng.normal(size=q - 1) * 0.1
+    c = rng.normal(size=n)
+    mesh = block_mesh(1)
+    out0 = solve_huge(c, G, h, l, (q,), mesh=mesh,
+                      config=SolverConfig(gondzio_correctors=0))
+    out1 = solve_huge(c, G, h, l, (q,), mesh=mesh,
+                      config=SolverConfig(gondzio_correctors=2))
+    assert out0[4].name == out1[4].name == "OPTIMAL"
+    np.testing.assert_allclose(out1[6][0], out0[6][0], rtol=1e-6, atol=1e-8)
+    assert out1[5] <= out0[5] + 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 faked devices")
+def test_gondzio_hugecone_sharded_matches_single():
+    """Corrector under the real 8-way tail sharding: the gathered clip
+    factors must stay bitwise replicated (check_vma-typed)."""
+    from socp_tpu.parallel.hugecone import solve_huge
+    from socp_tpu.parallel.mesh import block_mesh
+
+    rng = np.random.default_rng(6)
+    n, l, q = 8, 4, 41
+    m = l + q
+    G = np.zeros((m, n)); h = np.zeros(m)
+    for i in range(l // 2):
+        G[2 * i, i] = 1.0; G[2 * i + 1, i] = -1.0
+        h[2 * i] = h[2 * i + 1] = 2.0
+    G[l] = -rng.normal(size=n) * 0.1; h[l] = 5.0
+    G[l + 1:] = -rng.normal(size=(q - 1, n)) / np.sqrt(n)
+    h[l + 1:] = -rng.normal(size=q - 1) * 0.1
+    c = rng.normal(size=n)
+    cfg = SolverConfig(gondzio_correctors=1)
+    out1 = solve_huge(c, G, h, l, (q,), mesh=block_mesh(1), config=cfg)
+    out8 = solve_huge(c, G, h, l, (q,), mesh=block_mesh(8), config=cfg)
+    assert out1[4].name == out8[4].name == "OPTIMAL"
+    # the orthant pads to a multiple of ndev, so the 1- and 8-device runs
+    # carry different padding products; the corrector's accept rule can
+    # branch on them, so the TRAJECTORIES (unlike the corrector-free
+    # sharded test) legitimately diverge — both land on the optimum, just
+    # not bitwise along the same path.  Compare at solution accuracy.
+    np.testing.assert_allclose(out8[0], out1[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out8[6][0], out1[6][0], rtol=1e-6, atol=1e-8)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 faked devices")
 def test_gondzio_block_schur_sharded():
     """Corrector under the REAL 8-device shard_map (psum'd Schur RHS,
