@@ -308,9 +308,11 @@ def main():
         with open(_os2.path.join(_os2.path.dirname(
                 _os2.path.abspath(__file__)), "ROOFLINE.json")) as f:
             r = _json.load(f)
-        if on_tpu and r.get("device_kind") == kind:
-            peaks = (r["mxu_bf16_tflops"], r["hbm_stream_gbs"],
-                     r["vpu_f32_tflops"])
+        meas = (r.get("mxu_bf16_tflops", 0), r.get("hbm_stream_gbs", 0),
+                r.get("vpu_f32_tflops", 0))
+        if (on_tpu and r.get("device_kind") == kind
+                and all(v > 0 for v in meas)):
+            peaks = meas
             log(f"roofline denominators: measured (ROOFLINE.json) "
                 f"MXU {peaks[0]} TF/s HBM {peaks[1]} GB/s VPU {peaks[2]} TF/s")
     except (OSError, KeyError, ValueError):

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--n", type=int, default=4096,
                     help="square matmul size for the MXU test")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--target-ms", type=float, default=300.0,
+                    help="device work per timed call; the K2-K1 margin "
+                         "must dwarf the ~30 ms tunnel jitter (a 4-pass "
+                         "margin measured NEGATIVE bandwidth)")
     args = ap.parse_args()
 
     import jax
@@ -64,8 +68,14 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    def marginal(fn, x, K1, K2, reps):
-        return (timed(fn, x, K2, reps) - timed(fn, x, K1, reps)) / (K2 - K1)
+    def marginal(fn, x, per_pass_work, peak_guess, reps):
+        """Per-pass seconds via K2-vs-K1 differencing, with K2 sized from
+        an OPTIMISTIC peak guess so each timed call carries ~target_ms of
+        device work (slower chips just run longer).  Tiny fixed Ks put the
+        margin inside the tunnel jitter — measured negative throughput."""
+        k2 = max(16, int(args.target_ms / 1e3 * peak_guess / per_pass_work))
+        k1 = max(2, k2 // 8)
+        return (timed(fn, x, k2, reps) - timed(fn, x, k1, reps)) / (k2 - k1)
 
     # ---- HBM stream: y = x * a + b over an array far beyond VMEM --------
     elems = args.mb * (1 << 20) // 4
@@ -74,23 +84,23 @@ def main():
     def stream(v):
         return v * jnp.float32(1.0000001) + jnp.float32(1e-9)
 
-    t = marginal(stream, x, 2, 6, args.reps)
+    t = marginal(stream, x, 2 * elems * 4, 1000e9, args.reps)
     hbm_gbs = 2 * elems * 4 / t / 1e9          # read + write per pass
     print(f"HBM stream: {hbm_gbs:.1f} GB/s "
           f"({args.mb} MB array, {t*1e3:.2f} ms/pass)", file=sys.stderr)
 
     # ---- VPU f32: a chain of dependent FMAs on a VMEM-sized block -------
-    vb = jnp.ones((512, 512), jnp.float32) * 0.999999
-    CH = 64                                     # fused FMAs per pass
+    vb = jnp.ones((1024, 1024), jnp.float32) * 0.999999
+    CH = 256                                    # fused FMAs per pass
 
     def vpu(v):
         for _ in range(CH):
             v = v * jnp.float32(0.9999999) + jnp.float32(1e-9)
         return v
 
-    t = marginal(vpu, vb, 2, 6, args.reps)
+    t = marginal(vpu, vb, CH * 2 * vb.size, 15e12, args.reps)
     vpu_tf = CH * 2 * vb.size / t / 1e12
-    print(f"VPU f32: {vpu_tf:.2f} TFLOP/s (chain of {CH} FMAs on 1 MB)",
+    print(f"VPU f32: {vpu_tf:.2f} TFLOP/s (chain of {CH} FMAs on 4 MB)",
           file=sys.stderr)
 
     # ---- MXU bf16: dependent square matmuls -----------------------------
@@ -104,7 +114,7 @@ def main():
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
 
-    t = marginal(mxu, a, 2, 6, args.reps)
+    t = marginal(mxu, a, 2 * n ** 3, 400e12, args.reps)
     mxu_tf = 2 * n ** 3 / t / 1e12
     print(f"MXU bf16: {mxu_tf:.1f} TFLOP/s ({n}x{n} chained matmuls)",
           file=sys.stderr)
@@ -116,6 +126,14 @@ def main():
         "mxu_bf16_tflops": round(mxu_tf, 1),
     }
     print(json.dumps(rec))
+    # plausibility gate: a jittered margin can still produce nonsense;
+    # never persist denominators outside physically sane TPU ranges
+    sane = (50 < hbm_gbs < 5000 and 0.5 < vpu_tf < 100
+            and 10 < mxu_tf < 2000)
+    if not sane:
+        print("SUSPECT measurement (outside sane TPU ranges) — "
+              "not writing ROOFLINE.json", file=sys.stderr)
+        sys.exit(1)
     # persist for bench.py: measured peaks are the honest attainable
     # denominators (vendor figures overstate; see module docstring)
     path = os.path.join(os.path.dirname(os.path.dirname(
