@@ -19,6 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--K", type=int, default=6,
+                    help="scan length for the long leg of the marginal "
+                         "(K - 2 passes of margin; raise until the margin "
+                         "dwarfs the ~30 ms tunnel jitter)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,8 @@ def main():
             best = min(best, time.time() - t0)
         return best * 1e3
 
-    def marginal(fn, x, K1=2, K2=6):
+    def marginal(fn, x, K1=2, K2=None):
+        K2 = args.K if K2 is None else K2
         return (timed(fn, x, K2) - timed(fn, x, K1)) / (K2 - K1)
 
     def mix(a: ddm.DD, b_: ddm.DD, w=1e-6):

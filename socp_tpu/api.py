@@ -70,10 +70,14 @@ def _resolve_pallas(config: SolverConfig, n: int, batch: int = 1) -> SolverConfi
     instances — a vmapped pallas_call serializes instances over the grid,
     while the XLA columnwise substitution is batch-parallel.
 
-    gondzio_correctors: 1 on TPU native_dd paths (the dd factorization
-    dominates an iteration there, so one extra back-solve per corrector
-    buys a measured ~16-21% iteration-count cut — scripts/gondzio_iters.py);
-    0 elsewhere so CPU/f64 runs stay iteration-comparable to the oracle."""
+    gondzio_correctors: 1 on TPU native_dd SINGLE-solve paths, where the
+    dd factorization dominates an iteration, so one extra back-solve per
+    corrector buys a measured ~16-21% iteration-count cut
+    (scripts/gondzio_iters.py).  0 on the batched lockstep path: there the
+    per-iteration cost is cone-sweep/launch-bound, not factor-bound, and
+    the corrector's extra work outweighs the iteration cut (measured at
+    the B=4096 c3 contract: 1099 solves/s with vs 1136 without).  Also 0
+    off-TPU so CPU/f64 runs stay iteration-comparable to the oracle."""
     import dataclasses
 
     on_tpu = jax.default_backend() == "tpu"
@@ -88,7 +92,9 @@ def _resolve_pallas(config: SolverConfig, n: int, batch: int = 1) -> SolverConfi
     if config.gondzio_correctors is None:
         config = dataclasses.replace(
             config,
-            gondzio_correctors=1 if (config.native_dd and on_tpu) else 0,
+            gondzio_correctors=(
+                1 if (config.native_dd and on_tpu and batch <= 4) else 0
+            ),
         )
     return config
 

@@ -188,9 +188,11 @@ def _dd_chol_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
                          c.lo + jnp.zeros_like(M.lo)), M)
         lhi_ref[...] = M.hi
         llo_ref[...] = M.lo
-        return 0
+        return _i32(0)
 
-    lax.fori_loop(_i32(0), _i32(n), step, 0)
+    # carry must be i32: a weak Python 0 promotes to i64 under x64, and
+    # Mosaic cannot legalize an i64 func.return (verified on hardware)
+    lax.fori_loop(_i32(0), _i32(n), step, _i32(0))
     lower = rows >= cols
     lhi_ref[...] = jnp.where(lower, lhi_ref[...], zero)
     llo_ref[...] = jnp.where(lower, llo_ref[...], zero)
@@ -336,9 +338,11 @@ def _dd_chol_batch_kernel(hi_ref, lo_ref, lhi_ref, llo_ref):
                          c.lo + jnp.zeros_like(M.lo)), M)
         lhi_ref[...] = M.hi
         llo_ref[...] = M.lo
-        return 0
+        return _i32(0)
 
-    lax.fori_loop(_i32(0), _i32(n), step, 0)
+    # carry must be i32: a weak Python 0 promotes to i64 under x64, and
+    # Mosaic cannot legalize an i64 func.return (verified on hardware)
+    lax.fori_loop(_i32(0), _i32(n), step, _i32(0))
     lower = rows >= cols
     lhi_ref[...] = jnp.where(lower, lhi_ref[...], zero)
     llo_ref[...] = jnp.where(lower, llo_ref[...], zero)
