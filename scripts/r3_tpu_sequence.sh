@@ -19,12 +19,11 @@ run() {
 }
 
 STEP_TIMEOUT=1200 run step1_roofline python scripts/roofline.py
-STEP_TIMEOUT=3600 run step2_bench_default python bench.py
-STEP_TIMEOUT=3600 run step3_bench_pallas_on python bench.py --use-pallas on
-STEP_TIMEOUT=3600 run step3b_bench_gondzio0 python bench.py --gondzio 0
-STEP_TIMEOUT=1800 run step4_c1_split python scripts/c1_split.py
-STEP_TIMEOUT=7200 run step5_bench_all python scripts/bench_all.py --scale full
-STEP_TIMEOUT=3600 run step6_hugecone python scripts/hugecone_bench.py
+STEP_TIMEOUT=2400 run step2_bench_default python bench.py
+STEP_TIMEOUT=2400 run step3_bench_pallas_on python bench.py --use-pallas on
+STEP_TIMEOUT=1200 run step4_c1_split python scripts/c1_split.py
+STEP_TIMEOUT=1800 run step6_hugecone python scripts/hugecone_bench.py
+STEP_TIMEOUT=4800 run step5_bench_all python scripts/bench_all.py --scale full
 echo "=== step7 tpu smoke ($(date +%H:%M:%S)) ===" | tee -a $LOG/sequence.log
 SOCP_TPU_SMOKE=1 timeout 3600 python -m pytest tests/ -m tpu -q \
   > $LOG/step7_smoke.out 2>&1
