@@ -109,11 +109,16 @@ def _kkt_split_ms(cfg, layout, Gp, B, n, reps=2):
     A0 = ddm.from_f32(jnp.zeros((0, n), jnp.float32))
     v0 = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
 
+    from socp_tpu.ops.ozaki import preslice
+
     v_scale = jax.vmap(lambda s_, z_: dd_ops.nt_scale(
         layout, ddm.from_f32(s_), ddm.from_f32(z_)))
+    # constant preslices (outside the timed loop, like the shipping driver)
+    GT_s0 = jax.jit(jax.vmap(lambda g: preslice(g.T)))(G32)
+    G_s0 = jax.jit(jax.vmap(preslice))(G32)
     v_factor = jax.vmap(
-        lambda sc, g: dd_dense.factor_dd(layout, sc, None, A0, g,
-                                         cfg.delta_reg),
+        lambda sc, g, gts, gs: dd_dense.factor_dd(
+            layout, sc, None, A0, g, cfg.delta_reg, GT_s=gts, G_s=gs),
     )
     v_solve = jax.vmap(lambda k, bx: dd_dense.solve_dd(
         layout, k, A0, ddm.from_f32(bx),
@@ -137,10 +142,12 @@ def _kkt_split_ms(cfg, layout, Gp, B, n, reps=2):
 
     def f_factor(s_):
         sc = v_scale(s_, z)
-        kkt = v_factor(sc, G32)
+        kkt = v_factor(sc, G32, GT_s0, G_s0)
         return s_ + 1e-30 * kkt.L_H.L.hi[:, 0, 0, None]
 
-    kkt0 = jax.jit(lambda s_, z_: v_factor(v_scale(s_, z_), G32))(s, z)
+    kkt0 = jax.jit(
+        lambda s_, z_: v_factor(v_scale(s_, z_), G32, GT_s0, G_s0)
+    )(s, z)
 
     def f_solve(v):
         dx, _, _ = v_solve(kkt0, v)

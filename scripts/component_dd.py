@@ -19,6 +19,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--invert", type=int, default=1,
+                    help="1: apply the factor via the explicit triangular "
+                         "inverse (DDEqCholInv); 0: substitution")
     ap.add_argument("--K", type=int, default=6,
                     help="scan length for the long leg of the marginal "
                          "(K - 2 passes of margin; raise until the margin "
@@ -97,21 +100,34 @@ def main():
     scaling = jax.jit(scale_b)(s, z)
     A0 = ddm.from_f32(jnp.zeros((0, n), jnp.float32))
 
+    # constant preslices (outside the timed loop, like the shipping driver)
+    GT_s = jax.jit(jax.vmap(lambda g: preslice(g.T)))(Gdd)
+    G_s = jax.jit(jax.vmap(preslice))(Gdd)
     fact_b = jax.vmap(
-        lambda sc, G_: dd_dense.factor_dd(layout, sc, None, A0, G_, 1e-11),
-        in_axes=(0, 0),
+        lambda sc, G_, gts, gs: dd_dense.factor_dd(
+            layout, sc, None, A0, G_, 1e-11, GT_s=gts, G_s=gs,
+            invert=bool(args.invert)),
+        in_axes=(0, 0, 0, 0),
     )
+
+    def _probe(kkt):
+        # tiny dd leaf of the factor, any variant (feeds the scan carry)
+        lh = kkt.L_H
+        leaf = lh.Linv_s.S if hasattr(lh, "Linv_s") else lh.L.hi
+        return ddm.DD(leaf.reshape(leaf.shape[0], -1)[:, 0, None].astype(jnp.float32),
+                      jnp.zeros((leaf.shape[0], 1), jnp.float32))
 
     # 2. nt_scale + full dd factor
     def f_factor(s_):
         sc = scale_b(s_, z)
-        kkt = fact_b(sc, Gdd)
-        pert = ddm.DD(kkt.L_H.L.hi[:, 0, 0, None], kkt.L_H.L.lo[:, 0, 0, None])
-        return ddm.add(s_, ddm.mul_f32(pert, jnp.float32(1e-12)))
+        kkt = fact_b(sc, Gdd, GT_s, G_s)
+        return ddm.add(s_, ddm.mul_f32(_probe(kkt), jnp.float32(1e-12)))
 
     print(f"dd nt_scale+factor  {marginal(f_factor, s):8.2f} ms")
 
-    kkt = jax.jit(lambda s_, z_: fact_b(scale_b(s_, z_), Gdd))(s, z)
+    kkt = jax.jit(
+        lambda s_, z_: fact_b(scale_b(s_, z_), Gdd, GT_s, G_s)
+    )(s, z)
 
     # 3. dd back-solve (solve_dd)
     solve_b = jax.vmap(

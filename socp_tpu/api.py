@@ -89,6 +89,10 @@ def _resolve_pallas(config: SolverConfig, n: int, batch: int = 1) -> SolverConfi
             and on_tpu
         )
         config = dataclasses.replace(config, use_pallas=auto)
+    if config.invert_factor is None:
+        config = dataclasses.replace(
+            config, invert_factor=bool(config.native_dd)
+        )
     if config.gondzio_correctors is None:
         config = dataclasses.replace(
             config,

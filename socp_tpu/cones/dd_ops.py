@@ -24,7 +24,11 @@ from socp_tpu.ops.dd import DD
 
 
 def dd_sum(x: DD, axis: int = -1) -> DD:
-    """Accurate reduction along `axis`: pairwise dd adds (log2 n levels)."""
+    """Accurate reduction along `axis`: pairwise dd adds (log2 n levels).
+
+    Each level folds the upper CONTIGUOUS half onto the lower half —
+    contiguous lane slices, unlike a stride-2 interleave which forces a
+    relayout gather per level on TPU (measured ~2x the cost)."""
     hi = jnp.moveaxis(x.hi, axis, -1)
     lo = jnp.moveaxis(x.lo, axis, -1)
     n = hi.shape[-1]
@@ -36,9 +40,10 @@ def dd_sum(x: DD, axis: int = -1) -> DD:
         lo = jnp.pad(lo, pad)
     v = DD(hi, lo)
     while v.hi.shape[-1] > 1:
+        h = v.hi.shape[-1] // 2
         v = ddm.add(
-            DD(v.hi[..., 0::2], v.lo[..., 0::2]),
-            DD(v.hi[..., 1::2], v.lo[..., 1::2]),
+            DD(v.hi[..., :h], v.lo[..., :h]),
+            DD(v.hi[..., h:], v.lo[..., h:]),
         )
     return DD(v.hi[..., 0], v.lo[..., 0])
 
@@ -203,12 +208,31 @@ def max_step(layout: ConeLayout, u: DD, du: DD) -> jax.Array:
     return jnp.min(jnp.stack(alphas)) if alphas else inf
 
 
+def max_step_pair(layout: ConeLayout, u: DD, d1: DD, d2: DD) -> jax.Array:
+    """min(max_step(u, d1), max_step(u, d2)) in ONE sweep.
+
+    The two boundary steps of a Mehrotra iteration (scaled ds and dz
+    against lam) are independent; computing them as one vmapped pass
+    halves the latency-bound reduction chain (the per-bucket dd dots and
+    min-trees are tiny at lockstep batch sizes, so the cost is kernel
+    count, not flops)."""
+    d = DD(jnp.stack([d1.hi, d2.hi]), jnp.stack([d1.lo, d2.lo]))
+    steps = jax.vmap(lambda dk: max_step(layout, u, dk))(d)
+    return jnp.min(steps)
+
+
 class DDScaling(NamedTuple):
-    """NT scaling state in dd (mirrors cones.ops.Scaling)."""
+    """NT scaling state in dd (mirrors cones.ops.Scaling).
+
+    wbars (= v∘v, unit Jordan det) are kept alongside vs: the structured
+    KKT assembly and the fused W^2/W^-2 operators (apply_W2/apply_Winv2)
+    read W^2 = eta^2 P(wbar) and W^-2 = eta^-2 P(J wbar) directly, saving
+    one cone-op pass wherever W was previously applied twice."""
 
     w_orth: DD                  # (l,)
     etas: tuple[DD, ...]        # per bucket (nb,)
     vs: tuple[DD, ...]          # per bucket (nb, q_pad)
+    wbars: tuple[DD, ...]       # per bucket (nb, q_pad)
     lam: DD                     # (m_pad,)
 
 
@@ -216,7 +240,7 @@ def nt_scale(layout: ConeLayout, s: DD, z: DD) -> DDScaling:
     so, zo = _orth(layout, s), _orth(layout, z)
     w_orth = ddm.sqrt(ddm.div(so, zo))
     lam_pieces = [ddm.sqrt(ddm.mul(so, zo))]
-    etas, vs = [], []
+    etas, vs, wbars = [], [], []
     for sb, zb in zip(_views(layout, s), _views(layout, z)):
         dets = _jdet(sb)
         detz = _jdet(zb)
@@ -242,6 +266,7 @@ def nt_scale(layout: ConeLayout, s: DD, z: DD) -> DDScaling:
         eta = ddm.sqrt(ddm.sqrt(ddm.div(dets, detz)))
         etas.append(eta)
         vs.append(v)
+        wbars.append(wbar)
         # lambda = W z = eta (2 v (v'z) - J z)
         vz = dd_dot(v, zb, axis=1)
         lam_b = ddm.mul(
@@ -256,7 +281,7 @@ def nt_scale(layout: ConeLayout, s: DD, z: DD) -> DDScaling:
         )
         lam_pieces.append(lam_b)
     return DDScaling(w_orth=w_orth, etas=tuple(etas), vs=tuple(vs),
-                     lam=_flat(lam_pieces))
+                     wbars=tuple(wbars), lam=_flat(lam_pieces))
 
 
 def _apply(layout: ConeLayout, sc: DDScaling, u: DD, inverse: bool) -> DD:
@@ -285,6 +310,101 @@ def apply_W(layout: ConeLayout, sc: DDScaling, u: DD) -> DD:
 
 def apply_Winv(layout: ConeLayout, sc: DDScaling, u: DD) -> DD:
     return _apply(layout, sc, u, inverse=True)
+
+
+def _apply2(layout: ConeLayout, sc: DDScaling, u: DD, inverse: bool) -> DD:
+    """W^2 u (or W^-2 u) in ONE cone-op pass.
+
+    W^2 = eta^2 P(wbar) and W^-2 = eta^-2 P(wbar^-1) with wbar^-1 = J wbar
+    (unit Jordan det), both P(g)u = 2 g (g'u) - J u — the same diag+rank-1
+    shape as apply_W, so squaring W costs one pass instead of two."""
+    w2 = ddm.mul(sc.w_orth, sc.w_orth)
+    uo = _orth(layout, u)
+    pieces = [ddm.div(uo, w2) if inverse else ddm.mul(uo, w2)]
+    for ub, eta, wb in zip(_views(layout, u), sc.etas, sc.wbars):
+        g = _J(wb) if inverse else wb
+        gu = dd_dot(g, ub, axis=1)
+        core = ddm.sub(
+            ddm.mul_f32(
+                ddm.mul(g, DD(gu.hi[:, None], gu.lo[:, None])),
+                jnp.float32(2.0),
+            ),
+            _J(ub),
+        )
+        eta2 = ddm.mul(eta, eta)
+        e2c = DD(eta2.hi[:, None], eta2.lo[:, None])
+        pieces.append(ddm.div(core, e2c) if inverse else ddm.mul(core, e2c))
+    return _flat(pieces)
+
+
+def apply_W2(layout: ConeLayout, sc: DDScaling, u: DD) -> DD:
+    """W'W u = W^2 u (W symmetric) — one pass."""
+    return _apply2(layout, sc, u, inverse=False)
+
+
+def apply_Winv2(layout: ConeLayout, sc: DDScaling, u: DD) -> DD:
+    """W^-2 u — one pass."""
+    return _apply2(layout, sc, u, inverse=True)
+
+
+def winv2_rho(layout: ConeLayout, sc: DDScaling) -> DD:
+    """Diagonal part of W^-2 as an (m_pad,) row-weight vector.
+
+    G' W^-2 G = G' diag(rho) G + 2 sum_b eta_b^-2 u_b u_b' with
+    u_b = G_b' (J wbar_b): per SOC block the -eta^-2 J term contributes
+    rho = (-eta^-2 on the head row, +eta^-2 on the tails); orthant rows
+    carry w^-2.  Lets the condensed KKT matrix be assembled from CONSTANT
+    presliced G (one dd mul + one peel per iteration) instead of slicing
+    W^-1 G afresh every iteration."""
+    one = ddm.from_f32(jnp.ones_like(sc.w_orth.hi))
+    pieces = [ddm.div(one, ddm.mul(sc.w_orth, sc.w_orth))]
+    for bkt, eta in zip(layout.buckets, sc.etas):
+        e2 = ddm.div(
+            ddm.from_f32(jnp.ones_like(eta.hi)), ddm.mul(eta, eta)
+        )                                                  # (nb,)
+        sign = jnp.ones((1, bkt.q_pad), jnp.float32).at[0, 0].set(-1.0)
+        blk = ddm.mul_f32(DD(e2.hi[:, None], e2.lo[:, None]), sign)
+        pieces.append(blk)
+    return _flat(pieces)
+
+
+def winv2_columns(layout: ConeLayout, sc: DDScaling):
+    """Rank-correction generators for the structured KKT assembly.
+
+    Returns (V, w2) with V (m_pad, NB) dd — column b holds wbar_b^-1 =
+    J wbar_b on block b's padded rows, zero elsewhere — and w2 (NB,) dd
+    = 2 eta_b^-2, so that G' W^-2 G = G' diag(winv2_rho) G
+    + (G'V) diag(w2) (G'V)'.  NB = total SOC block count (static)."""
+    nb_total = sum(b.n_blocks for b in layout.buckets)
+    col_pieces_hi, col_pieces_lo, w2s = [], [], []
+    if layout.l:
+        col_pieces_hi.append(jnp.zeros((layout.l, nb_total), jnp.float32))
+        col_pieces_lo.append(jnp.zeros((layout.l, nb_total), jnp.float32))
+    col0 = 0
+    for bkt, eta, wb in zip(layout.buckets, sc.etas, sc.wbars):
+        winv = _J(wb)                                       # (nb, q_pad)
+        nb = bkt.n_blocks
+        eye = jnp.eye(nb, dtype=jnp.float32)
+        # (nb, q_pad, nb): block i's vector in column col0 + i
+        blk_hi = winv.hi[:, :, None] * eye[:, None, :]
+        blk_lo = winv.lo[:, :, None] * eye[:, None, :]
+        pad_l = col0
+        pad_r = nb_total - col0 - nb
+        blk_hi = jnp.pad(blk_hi.reshape(bkt.size, nb),
+                         ((0, 0), (pad_l, pad_r)))
+        blk_lo = jnp.pad(blk_lo.reshape(bkt.size, nb),
+                         ((0, 0), (pad_l, pad_r)))
+        col_pieces_hi.append(blk_hi)
+        col_pieces_lo.append(blk_lo)
+        e2 = ddm.div(ddm.from_f32(jnp.full_like(eta.hi, 2.0)),
+                     ddm.mul(eta, eta))
+        w2s.append(e2)
+        col0 += nb
+    V = DD(jnp.concatenate(col_pieces_hi, axis=0),
+           jnp.concatenate(col_pieces_lo, axis=0))
+    w2 = DD(jnp.concatenate([w.hi for w in w2s]),
+            jnp.concatenate([w.lo for w in w2s])) if w2s else None
+    return V, w2
 
 
 def scale_rows_Winv(layout: ConeLayout, sc: DDScaling, G: DD) -> DD:
@@ -327,14 +447,16 @@ def scale_rows_Winv(layout: ConeLayout, sc: DDScaling, G: DD) -> DD:
 
 def identity_scaling(layout: ConeLayout) -> DDScaling:
     """W = I (initialization)."""
-    etas, vs = [], []
+    etas, vs, wbars = [], [], []
     for b in layout.buckets:
         etas.append(ddm.from_f32(jnp.ones((b.n_blocks,), jnp.float32)))
         v = jnp.zeros((b.n_blocks, b.q_pad), jnp.float32).at[:, 0].set(1.0)
         vs.append(ddm.from_f32(v))
+        wbars.append(ddm.from_f32(v))
     return DDScaling(
         w_orth=ddm.from_f32(jnp.ones((layout.l,), jnp.float32)),
         etas=tuple(etas),
         vs=tuple(vs),
+        wbars=tuple(wbars),
         lam=identity(layout),
     )

@@ -87,6 +87,18 @@ class SolverConfig:
     # TPU with n small enough that the factor fits VMEM; the batched
     # default follows measured results (see api._resolve_pallas).
     use_pallas: bool | None = None
+    # Apply the dd KKT factor via its EXPLICIT triangular inverse
+    # (kkt/dd_dense.DDEqCholInv): each back-solve becomes two presliced
+    # Ozaki matvecs (constant kernel count, MXU work) instead of a
+    # 2n/unroll-step substitution chain — the substitutions are pure
+    # launch latency at lockstep batch sizes (~28us/step measured on TPU
+    # v5e).  The inverse is built once per factorization by
+    # dd_linalg.dd_tri_inv; forward error stays O(eps_dd * kappa), same
+    # order as substitution (validated head-to-head), and per-solve
+    # refinement absorbs the slightly larger residual constant.  None =
+    # auto: on for native_dd solves (both batched and single); ignored
+    # where use_pallas routes solves through the VMEM kernels.
+    invert_factor: bool | None = None
     # Reduce the block-Schur complement S = sum_i A_i H_i^-1 A_i' with an
     # explicit ppermute ring instead of one monolithic psum (overlappable
     # ICI hops; SURVEY.md 7.3.5).  Equivalent numerics up to reassociation;

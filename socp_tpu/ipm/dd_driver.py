@@ -193,7 +193,9 @@ def solve_core_dd(
         zero_p = ddm.from_f32(jnp.zeros((p,), jnp.float32))
         zero_m = ddm.from_f32(jnp.zeros((m,), jnp.float32))
         kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg,
-                                  pallas=bool(cfg.use_pallas))
+                                  pallas=bool(cfg.use_pallas),
+                                  GT_s=cm.GT_s, G_s=cm.G_s,
+                                  invert=bool(cfg.invert_factor))
         x0, _, z0, _ = refined(kkt0, zero_n, b, h)
         shat = z0.neg()
         ap = -dd_ops.lambda_min(layout, shat)
@@ -253,7 +255,9 @@ def solve_core_dd(
         # ---- hot block
         scaling = dd_ops.nt_scale(layout, s, z)
         kkt = dd_dense.factor_dd(layout, scaling, Paug, A, G, cfg.delta_reg,
-                                 pallas=bool(cfg.use_pallas))
+                                 pallas=bool(cfg.use_pallas),
+                                 GT_s=cm.GT_s, G_s=cm.G_s,
+                                 invert=bool(cfg.invert_factor))
         lam = scaling.lam
 
         def newton(d_s, steps=None):
@@ -269,10 +273,7 @@ def solve_core_dd(
         dx_a, dy_a, dz_a, ds_sc_a, dz_sc_a, _ = newton(
             lam2, steps=cfg.refine_affine
         )
-        alpha_a = jnp.minimum(
-            dd_ops.max_step(layout, lam, ds_sc_a),
-            dd_ops.max_step(layout, lam, dz_sc_a),
-        )
+        alpha_a = dd_ops.max_step_pair(layout, lam, ds_sc_a, dz_sc_a)
         alpha_a = jnp.minimum(1.0, alpha_a)
         gap_a = dd_ops.dd_dot(
             _axpy(lam, alpha_a, ds_sc_a), _axpy(lam, alpha_a, dz_sc_a),
@@ -286,10 +287,7 @@ def solve_core_dd(
         )
         dx, dy, dz, ds_sc, dz_sc, quality = newton(d_s)
 
-        alpha = jnp.minimum(
-            dd_ops.max_step(layout, lam, ds_sc),
-            dd_ops.max_step(layout, lam, dz_sc),
-        )
+        alpha = dd_ops.max_step_pair(layout, lam, ds_sc, dz_sc)
         alpha = jnp.minimum(1.0, cfg.step_frac * alpha)
 
         # ---- Gondzio multiple centrality correctors (config.py): push the
@@ -314,10 +312,7 @@ def solve_core_dd(
             ds_sc_c = ddm.add(dtil_c, dz_sc_c).neg()
             c_ds_sc = ddm.add(ds_sc, ds_sc_c)
             c_dz_sc = ddm.add(dz_sc, dz_sc_c)
-            alpha_c = jnp.minimum(
-                dd_ops.max_step(layout, lam, c_ds_sc),
-                dd_ops.max_step(layout, lam, c_dz_sc),
-            )
+            alpha_c = dd_ops.max_step_pair(layout, lam, c_ds_sc, c_dz_sc)
             alpha_c = jnp.minimum(1.0, cfg.step_frac * alpha_c)
             accept = alpha_c >= alpha + 0.01
             dx = ddm.where(accept, ddm.add(dx, dxc), dx)

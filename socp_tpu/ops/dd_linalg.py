@@ -138,6 +138,85 @@ def dd_chol_solve(L: DD, B: DD, LT: DD | None = None) -> DD:
     return dd_solve_triangular(L, y, lower=False)
 
 
+def dd_tri_inv(L: DD, base: int = 32) -> DD:
+    """Explicit inverse of a lower-triangular dd (n, n) matrix.
+
+    Recursive block bisection: [[A, 0], [B, C]]^-1 = [[A^-1, 0],
+    [-C^-1 B A^-1, C^-1]].  All `base`-sized diagonal blocks invert in ONE
+    vmapped substitution (base/unroll sequential steps for the whole
+    matrix), then log2(n/base) levels of batched Ozaki GEMMs fill the
+    off-diagonal blocks — O(log n) kernel launches total, vs O(n) for a
+    substitution per solve.  The payoff is in dd_dense.DDEqCholInv: every
+    subsequent back-solve is two MXU matvecs instead of a latency-bound
+    2n/unroll-step substitution chain (measured ~28us/step on TPU v5e).
+
+    Numerics: applying an explicit triangular inverse is not backward
+    stable, but the forward error stays O(eps_dd * kappa(L)) — the same
+    order as substitution — and every KKT solve is wrapped in iterative
+    refinement, which contracts on the measured residual either way.
+    """
+    from socp_tpu.ops.ozaki import dd_matmul
+
+    n = L.hi.shape[-1]
+    if n == 0:
+        return L
+
+    def _sub_inv(Lb: DD) -> DD:
+        nn = Lb.hi.shape[-1]
+        eye = ddm.from_f32(jnp.eye(nn, dtype=jnp.float32))
+        return dd_solve_triangular(Lb, eye, lower=True)
+
+    if n <= base:
+        return _sub_inv(L)
+
+    # pad to base * 2^k with an identity tail: inv([[L,0],[0,I]]) keeps the
+    # leading block equal to inv(L) and the cross blocks zero.
+    nb = -(-n // base)
+    k = (nb - 1).bit_length()
+    npad = base << k
+    if npad != n:
+        hi = jnp.zeros((npad, npad), jnp.float32).at[:n, :n].set(L.hi)
+        lo = jnp.zeros((npad, npad), jnp.float32).at[:n, :n].set(L.lo)
+        idx = jnp.arange(n, npad)
+        hi = hi.at[idx, idx].set(1.0)
+        L = DD(hi, lo)
+
+    nblk = npad // base
+    diag = DD(
+        jnp.stack([L.hi[i * base:(i + 1) * base, i * base:(i + 1) * base]
+                   for i in range(nblk)]),
+        jnp.stack([L.lo[i * base:(i + 1) * base, i * base:(i + 1) * base]
+                   for i in range(nblk)]),
+    )
+    inv_diag = jax.vmap(_sub_inv)(diag)
+
+    Xhi = jnp.zeros((npad, npad), jnp.float32)
+    Xlo = jnp.zeros((npad, npad), jnp.float32)
+    for i in range(nblk):
+        sl = slice(i * base, (i + 1) * base)
+        Xhi = Xhi.at[sl, sl].set(inv_diag.hi[i])
+        Xlo = Xlo.at[sl, sl].set(inv_diag.lo[i])
+    X = DD(Xhi, Xlo)
+
+    s = base
+    while s < npad:
+        offs = list(range(0, npad, 2 * s))
+        Ainv = DD(jnp.stack([X.hi[o:o + s, o:o + s] for o in offs]),
+                  jnp.stack([X.lo[o:o + s, o:o + s] for o in offs]))
+        Cinv = DD(jnp.stack([X.hi[o + s:o + 2 * s, o + s:o + 2 * s]
+                             for o in offs]),
+                  jnp.stack([X.lo[o + s:o + 2 * s, o + s:o + 2 * s]
+                             for o in offs]))
+        B = DD(jnp.stack([L.hi[o + s:o + 2 * s, o:o + s] for o in offs]),
+               jnp.stack([L.lo[o + s:o + 2 * s, o:o + s] for o in offs]))
+        off = jax.vmap(dd_matmul)(jax.vmap(dd_matmul)(Cinv, B), Ainv).neg()
+        for j, o in enumerate(offs):
+            X = DD(X.hi.at[o + s:o + 2 * s, o:o + s].set(off.hi[j]),
+                   X.lo.at[o + s:o + 2 * s, o:o + s].set(off.lo[j]))
+        s *= 2
+    return DD(X.hi[:n, :n], X.lo[:n, :n])
+
+
 def dd_cholesky_blocked(H: DD, block: int = 32) -> DD:
     """Lower dd Cholesky, blocked right-looking (static Python block loop).
 

@@ -366,7 +366,10 @@ def cholesky_dd_batched(H: DD, tile: int | None = None) -> DD:
     T = tile or _pick_tile(B, n)
     if B % T:
         raise ValueError(f"batch {B} not divisible by tile {T}")
-    spec = pl.BlockSpec((T, n, n), lambda i: (i, 0, 0))
+    # index-map zeros must be i32: weak Python 0 promotes to i64 under
+    # x64, and Mosaic cannot legalize the index map's i64 func.return
+    # (same failure class as the fori_loop carries above)
+    spec = pl.BlockSpec((T, n, n), lambda i: (i, _i32(0), _i32(0)))
     with _dd_trace_ctx():
         hi, lo = pl.pallas_call(
             _dd_chol_batch_kernel,
@@ -433,8 +436,9 @@ def tri_pair_solve_batched(L: DD, LT: DD, b: DD,
     T = tile or _pick_tile(B, n)
     if B % T:
         raise ValueError(f"batch {B} not divisible by tile {T}")
-    mspec = pl.BlockSpec((T, n, n), lambda i: (i, 0, 0))
-    bspec = pl.BlockSpec((T, k, n), lambda i: (i, 0, 0))
+    # i32 index-map zeros: see cholesky_dd_batched
+    mspec = pl.BlockSpec((T, n, n), lambda i: (i, _i32(0), _i32(0)))
+    bspec = pl.BlockSpec((T, k, n), lambda i: (i, _i32(0), _i32(0)))
     bt_hi = jnp.swapaxes(b.hi, 1, 2)
     bt_lo = jnp.swapaxes(b.lo, 1, 2)
     with _dd_trace_ctx():

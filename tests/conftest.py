@@ -35,6 +35,11 @@ import jax  # noqa: E402
 if not _TPU_SMOKE:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the dd-driver graphs cost minutes of LLVM
+# time per variant on a small CPU box; cached executables make repeat test
+# runs (and reruns after unrelated edits) start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_socp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def pytest_configure(config):

@@ -121,3 +121,65 @@ def test_dd_sum_accuracy():
     # bound: the dd32 *representation* of the inputs already carries
     # sum(|x|) * 2^-49 of error; the pairwise reduction adds ~log2(n) ulps
     assert abs(got - x64.sum()) < np.sum(np.abs(x64)) * 2.0**-49 * 20
+
+
+@pytest.mark.parametrize("dims", CASES)
+@pytest.mark.parametrize("mu", [1.0, 1e-5])
+def test_dd_fused_W2_matches_double_apply(dims, mu):
+    """apply_W2 / apply_Winv2 (one fused P(wbar) pass) == applying W twice."""
+    layout = make_layout(dims)
+    rng = np.random.default_rng(7)
+    sd = ddm.from_f64(jnp.asarray(layout.pad_vec(_interior(rng, dims, mu))))
+    zd = ddm.from_f64(jnp.asarray(layout.pad_vec(_interior(rng, dims, mu))))
+    ud = ddm.from_f64(jnp.asarray(layout.pad_vec(rng.normal(size=dims.dim))))
+    sc = dd_ops.nt_scale(layout, sd, zd)
+    ww = dd_ops.apply_W(layout, sc, dd_ops.apply_W(layout, sc, ud))
+    w2 = dd_ops.apply_W2(layout, sc, ud)
+    np.testing.assert_allclose(
+        np.asarray(w2.astype_f64()), np.asarray(ww.astype_f64()),
+        rtol=1e-9, atol=1e-11,
+    )
+    wwi = dd_ops.apply_Winv(layout, sc, dd_ops.apply_Winv(layout, sc, ud))
+    w2i = dd_ops.apply_Winv2(layout, sc, ud)
+    np.testing.assert_allclose(
+        np.asarray(w2i.astype_f64()), np.asarray(wwi.astype_f64()),
+        rtol=1e-9, atol=1e-11,
+    )
+    # round trip: W^2 (W^-2 u) == u.  Error scales with kappa(W^2)^2 ~ mu^-2
+    # (the scaling's dynamic range grows as the iterate approaches the
+    # boundary), so the tolerance must carry the same factor.
+    rt = dd_ops.apply_W2(layout, sc, w2i)
+    tol = 1e-9 / min(mu, 1.0) ** 2
+    np.testing.assert_allclose(
+        np.asarray(rt.astype_f64()), np.asarray(ud.astype_f64()),
+        rtol=tol, atol=tol * 1e-2,
+    )
+
+
+@pytest.mark.parametrize("dims", CASES)
+def test_dd_structured_winv2_assembly_identity(dims):
+    """G' W^-2 G == G' diag(rho) G + (G'V) diag(w2) (G'V)'  (the structured
+    KKT assembly of kkt/dd_dense.factor_dd), checked against the f64
+    scaled-matrix Gram."""
+    layout = make_layout(dims)
+    rng = np.random.default_rng(8)
+    nvar = 6
+    s64 = layout.pad_vec(_interior(rng, dims))
+    z64 = layout.pad_vec(_interior(rng, dims))
+    G64 = layout.pad_rows(rng.normal(size=(dims.dim, nvar)))
+    sc64 = cops.nt_scale(layout, jnp.asarray(s64), jnp.asarray(z64))
+    Gh64 = np.asarray(cops.scale_rows_Winv(layout, sc64, jnp.asarray(G64)))
+    ref = Gh64.T @ Gh64
+
+    scdd = dd_ops.nt_scale(layout, ddm.from_f64(jnp.asarray(s64)),
+                           ddm.from_f64(jnp.asarray(z64)))
+    Gdd = ddm.from_f64(jnp.asarray(G64))
+    rho = dd_ops.winv2_rho(layout, scdd)
+    H = np.asarray(
+        (Gdd.T.astype_f64() @ (rho.astype_f64()[:, None] * Gdd.astype_f64()))
+    )
+    V, w2 = dd_ops.winv2_columns(layout, scdd)
+    if w2 is not None:
+        U = Gdd.astype_f64().T @ V.astype_f64()
+        H = H + (U * w2.astype_f64()[None, :]) @ U.T
+    np.testing.assert_allclose(H, ref, rtol=1e-9, atol=1e-11)
