@@ -113,12 +113,20 @@ def _kkt_split_ms(cfg, layout, Gp, B, n, reps=2):
 
     v_scale = jax.vmap(lambda s_, z_: dd_ops.nt_scale(
         layout, ddm.from_f32(s_), ddm.from_f32(z_)))
-    # constant preslices (outside the timed loop, like the shipping driver)
+    # constants computed once, outside the timed loop, like the shipping
+    # driver: preslices + the per-block constant Grams (ConstGram)
     GT_s0 = jax.jit(jax.vmap(lambda g: preslice(g.T)))(G32)
     G_s0 = jax.jit(jax.vmap(preslice))(G32)
+    has_cg = dd_dense.precompute_const_gram(layout, G32[0]) is not None
+    cg0 = (jax.jit(jax.vmap(
+        lambda g: dd_dense.precompute_const_gram(layout, g)))(G32)
+        if has_cg else None)
+    invert = True if cfg.invert_factor is None else cfg.invert_factor
     v_factor = jax.vmap(
-        lambda sc, g, gts, gs: dd_dense.factor_dd(
-            layout, sc, None, A0, g, cfg.delta_reg, GT_s=gts, G_s=gs),
+        lambda sc, g, gts, gs, cg_: dd_dense.factor_dd(
+            layout, sc, None, A0, g, cfg.delta_reg, GT_s=gts, G_s=gs,
+            cg=cg_, invert=invert),
+        in_axes=(0, 0, 0, 0, 0 if has_cg else None),
     )
     v_solve = jax.vmap(lambda k, bx: dd_dense.solve_dd(
         layout, k, A0, ddm.from_f32(bx),
@@ -142,11 +150,17 @@ def _kkt_split_ms(cfg, layout, Gp, B, n, reps=2):
 
     def f_factor(s_):
         sc = v_scale(s_, z)
-        kkt = v_factor(sc, G32, GT_s0, G_s0)
-        return s_ + 1e-30 * kkt.L_H.L.hi[:, 0, 0, None]
+        kkt = v_factor(sc, G32, GT_s0, G_s0, cg0)
+        # probe sums EVERY factor leaf: a single-element probe lets XLA
+        # dead-code most of the factorization under test
+        lh = kkt.L_H
+        leaf = lh.Linv_s.S if hasattr(lh, "Linv_s") else lh.L.hi
+        r = jnp.sum(leaf.astype(jnp.float32),
+                    axis=tuple(range(1, leaf.ndim)))
+        return s_ + 1e-30 * r[:, None]
 
     kkt0 = jax.jit(
-        lambda s_, z_: v_factor(v_scale(s_, z_), G32, GT_s0, G_s0)
+        lambda s_, z_: v_factor(v_scale(s_, z_), G32, GT_s0, G_s0, cg0)
     )(s, z)
 
     def f_solve(v):

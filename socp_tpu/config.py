@@ -93,8 +93,9 @@ class SolverConfig:
     # 2n/unroll-step substitution chain — the substitutions are pure
     # launch latency at lockstep batch sizes (~28us/step measured on TPU
     # v5e).  The inverse is built once per factorization by
-    # dd_linalg.dd_tri_inv; forward error stays O(eps_dd * kappa), same
-    # order as substitution (validated head-to-head), and per-solve
+    # dd_linalg.dd_chol_tri_inv (FUSED panel Cholesky + base inversion:
+    # panel solves ride MXU GEMMs); forward error stays O(eps_dd * kappa),
+    # same order as substitution (validated head-to-head), and per-solve
     # refinement absorbs the slightly larger residual constant.  None =
     # auto: on for native_dd solves (both batched and single); ignored
     # where use_pallas routes solves through the VMEM kernels.

@@ -116,6 +116,9 @@ def solve_core_dd(
         GT_s=preslice(G.T),
         P_s=preslice(P) if has_P else None,
     )
+    # per-solve constant Grams: for few-SOC-block layouts the per-iteration
+    # H assembly needs NO Ozaki pass over the full G (see dd_dense.ConstGram)
+    cg = dd_dense.precompute_const_gram(layout, G)
 
     norm_b = jnp.maximum(1.0, _norm(b))
     norm_h = jnp.maximum(1.0, _norm(h))
@@ -195,7 +198,7 @@ def solve_core_dd(
         kkt0 = dd_dense.factor_dd(layout, sc0, Paug, A, G, cfg.delta_reg,
                                   pallas=bool(cfg.use_pallas),
                                   GT_s=cm.GT_s, G_s=cm.G_s,
-                                  invert=bool(cfg.invert_factor))
+                                  invert=bool(cfg.invert_factor), cg=cg)
         x0, _, z0, _ = refined(kkt0, zero_n, b, h)
         shat = z0.neg()
         ap = -dd_ops.lambda_min(layout, shat)
@@ -257,7 +260,7 @@ def solve_core_dd(
         kkt = dd_dense.factor_dd(layout, scaling, Paug, A, G, cfg.delta_reg,
                                  pallas=bool(cfg.use_pallas),
                                  GT_s=cm.GT_s, G_s=cm.G_s,
-                                 invert=bool(cfg.invert_factor))
+                                 invert=bool(cfg.invert_factor), cg=cg)
         lam = scaling.lam
 
         def newton(d_s, steps=None):

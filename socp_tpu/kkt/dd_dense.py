@@ -22,8 +22,8 @@ from socp_tpu.cones import ops as cops
 from socp_tpu.cones.layout import ConeLayout
 from socp_tpu.ops import dd as ddm
 from socp_tpu.ops.dd import DD
-from socp_tpu.ops.dd_linalg import (dd_chol_solve, dd_cholesky_blocked,
-                                    dd_tri_inv)
+from socp_tpu.ops.dd_linalg import (dd_chol_solve, dd_chol_tri_inv,
+                                    dd_cholesky_blocked)
 from socp_tpu.ops.ozaki import (SlicedMat, dd_matmul, preslice,
                                 sliced_gram, sliced_matmul)
 
@@ -72,15 +72,19 @@ class DDEqCholInv(NamedTuple):
     solve() is two presliced Ozaki matvecs — a constant number of MXU
     kernels — instead of a 2n/unroll-step substitution chain (measured
     ~28us of launch latency per step on TPU v5e, ~1.5 ms per back-solve at
-    n=102 B=128 vs ~0.3 ms here).  The inverse itself is built once per
-    factorization by dd_linalg.dd_tri_inv (one vmapped base-block
-    substitution + log2(n/32) levels of batched Ozaki GEMMs).
+    n=102 B=128 vs ~0.3 ms here).  The inverse is built once per
+    factorization by dd_linalg.dd_chol_tri_inv (FUSED panel Cholesky +
+    base-block inversion: panel solves become MXU GEMMs and the level
+    merge gets its base inverses for free).
 
     Numerics: forward error of inverse-apply is O(eps_dd * kappa), the
     same order as substitution (validated head-to-head at kappa=1e10);
     the residual constant is a few x worse, which the per-solve iterative
-    refinement absorbs.  The factor L is not kept — only its presliced
-    inverse."""
+    refinement absorbs.  Applying Linv then Linv' is deliberate — the
+    multiplied-out Hinv = Linv' Linv costs an extra O(eps ||Linv||^2)
+    Gram rounding that measurably slowed straggler instances' convergence
+    at mu ~ 1e-8 (B=4096 contract: ~60% more lockstep iterations).  The
+    factor L is not kept — only its presliced inverse."""
 
     Linv_s: SlicedMat
     LinvT_s: SlicedMat
@@ -120,11 +124,11 @@ def _dd_eq_chol(M: DD, delta: float, pallas: bool = False,
 
         L = cholesky_dd_v(Mn)
         return DDEqCholPallas(L=L, d=d, LT=L.T)
-    L = dd_cholesky_blocked(Mn)
     if invert and n > 0:
-        Linv = dd_tri_inv(L)
+        Linv = dd_chol_tri_inv(Mn)
         return DDEqCholInv(Linv_s=preslice(Linv),
-                           LinvT_s=preslice(Linv.T), d=d)
+                           LinvT_s=preslice(DD(Linv.hi.T, Linv.lo.T)), d=d)
+    L = dd_cholesky_blocked(Mn)
     return DDEqChol(L=L, d=d, LT=L.T)
 
 
@@ -262,6 +266,61 @@ class DDKKTo(NamedTuple):
 STRUCT_MAX_BLOCKS = 32
 
 
+class ConstGram(NamedTuple):
+    """Per-solve CONSTANT pieces of the condensed (1,1) block.
+
+    The SOC Nesterov-Todd scaling has exactly one magnitude DOF per block:
+    W_b^-2 = eta_b^-2 (2 u_b u_b' - J) with u_b = J wbar_b, so
+
+      G_b' W_b^-2 G_b = eta_b^-2 (K_b - 2 g0_b g0_b') + 2 eta_b^-2 u_b u_b'
+
+    where K_b = G_b' G_b and g0_b = G' e_head(b) do NOT change across IPM
+    iterations (only the scalars eta_b and the vectors u_b do).  With K_b
+    and g0_b precomputed once per solve, the per-iteration H assembly is a
+    weighted sum of NB constant (n, n) matrices plus one rank-2NB update —
+    the O(m n^2) Ozaki Gram disappears entirely for pure-SOC problems
+    (e.g. the robust-LS contract), and shrinks to the orthant rows only
+    otherwise.  Gated to small NB: the stacked K costs NB n^2 dd words.
+    """
+
+    K: DD                      # (NB, n, n) constant per-block Grams
+    g0: DD                     # (n, NB) head-row columns G' e_head(b)
+    GoT_s: SlicedMat | None    # presliced orthant G_o' (n, l); None if l=0
+    Go: DD | None              # (l, n) orthant rows of G
+
+
+# Largest SOC-block count for the constant-Gram assembly (memory gate:
+# the stacked K is NB * n^2 dd words per instance).
+CONST_GRAM_MAX_BLOCKS = 4
+
+
+def precompute_const_gram(layout: ConeLayout, G: DD) -> ConstGram | None:
+    """Build the per-solve constants for the ConstGram assembly, or None
+    when the layout doesn't qualify (no SOC blocks, or too many)."""
+    nb_total = sum(b.n_blocks for b in layout.buckets)
+    if nb_total == 0 or nb_total > CONST_GRAM_MAX_BLOCKS:
+        return None
+    Ks_hi, Ks_lo, g0_hi, g0_lo = [], [], [], []
+    for bkt in layout.buckets:
+        for i in range(bkt.n_blocks):
+            r0 = bkt.offset + i * bkt.q_pad
+            Gb = G[r0 : r0 + bkt.q_pad]            # (q_pad, n) dd
+            Kb = sliced_gram(preslice(Gb.T))       # G_b' G_b  (n, n)
+            Ks_hi.append(Kb.hi)
+            Ks_lo.append(Kb.lo)
+            g0_hi.append(G.hi[r0])
+            g0_lo.append(G.lo[r0])
+    K = DD(jnp.stack(Ks_hi), jnp.stack(Ks_lo))
+    g0 = DD(jnp.stack(g0_hi, axis=1), jnp.stack(g0_lo, axis=1))
+    if layout.l:
+        Go = G[: layout.l]
+        GoT_s = preslice(Go.T)
+    else:
+        Go = None
+        GoT_s = None
+    return ConstGram(K=K, g0=g0, GoT_s=GoT_s, Go=Go)
+
+
 def factor_dd(
     layout: ConeLayout,
     scaling,
@@ -273,29 +332,72 @@ def factor_dd(
     GT_s: SlicedMat | None = None,
     G_s: SlicedMat | None = None,
     invert: bool = False,
+    cg: ConstGram | None = None,
 ) -> DDKKTn | DDKKTo:
     """Factor the condensed system H = P_aug + G' W^-2 G (+ Schur of A).
 
-    When the constant preslices (GT_s, G_s) are supplied and the cone has
-    few SOC blocks, H is assembled STRUCTURALLY: W^-2 = eta^-2 P(J wbar)
-    per block gives H = G' diag(rho) G + (G'V) diag(2 eta^-2) (G'V)' with
-    rho/V from dd_ops.winv2_rho/winv2_columns — one dd mul + one Ozaki peel
-    of diag(rho) G per iteration, instead of forming and double-preslicing
-    W^-1 G.  Otherwise falls back to the scaled-matrix pipeline.
+    Assembly strategy, best-first:
+
+    * `cg` (ConstGram, precomputed once per solve): H is a weighted sum of
+      the NB constant per-block Grams + one rank-2NB update + (if l > 0) a
+      Gram over the orthant rows only — zero per-iteration Ozaki passes
+      over the full G for pure-SOC cones.  See ConstGram.
+    * constant preslices (GT_s, G_s) with few SOC blocks: STRUCTURED —
+      W^-2 = eta^-2 P(J wbar) per block gives H = G' diag(rho) G +
+      (G'V) diag(2 eta^-2) (G'V)' with rho/V from winv2_rho/winv2_columns —
+      one dd mul + one Ozaki peel of diag(rho) G per iteration, instead of
+      forming and double-preslicing W^-1 G.
+    * otherwise: the scaled-matrix pipeline (preslice W^-1 G afresh).
     """
     p = A.hi.shape[0]
     nb_total = sum(b.n_blocks for b in layout.buckets)
     structured = GT_s is not None and nb_total <= STRUCT_MAX_BLOCKS
 
-    if structured:
+    if cg is not None and GT_s is not None:
+        n = G.hi.shape[1]
+        V, w2 = dd_ops.winv2_columns(layout, scaling)     # w2 = 2 eta^-2
+        # H_soc = sum_b 0.5 w2_b K_b  +  [g0 | U] diag([-w2, w2]) [g0 | U]'
+        e2 = ddm.mul_f32(w2, jnp.float32(0.5))            # (NB,) eta^-2
+        Kw = ddm.mul(cg.K, DD(e2.hi[:, None, None], e2.lo[:, None, None]))
+        H = DD(Kw.hi[0], Kw.lo[0])
+        for b in range(1, Kw.hi.shape[0]):
+            H = ddm.add(H, DD(Kw.hi[b], Kw.lo[b]))
+        U = sliced_matmul(GT_s, V)                        # (n, NB)
+        C = DD(jnp.concatenate([cg.g0.hi, U.hi], axis=1),
+               jnp.concatenate([cg.g0.lo, U.lo], axis=1))  # (n, 2NB)
+        w_neg = ddm.mul_f32(w2, jnp.float32(-1.0))
+        wC = DD(jnp.concatenate([w_neg.hi, w2.hi]),
+                jnp.concatenate([w_neg.lo, w2.lo]))         # (2NB,)
+        Cw = ddm.mul(C, DD(wC.hi[None, :], wC.lo[None, :]))
+        H = ddm.add(H, _dd_mm(Cw, C.T))
+        if layout.l:
+            one = ddm.from_f32(jnp.ones_like(scaling.w_orth.hi))
+            w2o = ddm.div(one, ddm.mul(scaling.w_orth, scaling.w_orth))
+            Mo = ddm.mul(cg.Go, DD(w2o.hi[:, None], w2o.lo[:, None]))
+            H = ddm.add(H, sliced_matmul(cg.GoT_s, Mo))
+        if Paug is not None:
+            H = ddm.add(H, Paug)
+        L_H = _dd_eq_chol(H, delta, pallas=pallas, invert=invert)
+    elif structured:
+        n = G.hi.shape[1]
         rho = dd_ops.winv2_rho(layout, scaling)
         Mrho = ddm.mul(G, DD(rho.hi[:, None], rho.lo[:, None]))
-        H = sliced_matmul(GT_s, Mrho)                     # G' diag(rho) G
         if nb_total:
+            # one multiply for [G' diag(rho) G | G' V]: the rank-correction
+            # generators ride the Gram's pass over the GT slice arrays
+            # (a separate sliced_matmul(GT_s, V) would re-read all 28
+            # slice pairs — ~230 MB at the B=128 contract chunk — for an
+            # m x NB operand)
             V, w2 = dd_ops.winv2_columns(layout, scaling)
-            U = sliced_matmul(GT_s, V)                    # (n, NB)
+            MV = DD(jnp.concatenate([Mrho.hi, V.hi], axis=1),
+                    jnp.concatenate([Mrho.lo, V.lo], axis=1))
+            HU = sliced_matmul(GT_s, MV)
+            H = DD(HU.hi[:, :n], HU.lo[:, :n])
+            U = DD(HU.hi[:, n:], HU.lo[:, n:])
             Uw = ddm.mul(U, DD(w2.hi[None, :], w2.lo[None, :]))
             H = ddm.add(H, _dd_mm(Uw, U.T))
+        else:
+            H = sliced_matmul(GT_s, Mrho)                 # G' diag(rho) G
         if Paug is not None:
             H = ddm.add(H, Paug)
         L_H = _dd_eq_chol(H, delta, pallas=pallas, invert=invert)
@@ -316,7 +418,7 @@ def factor_dd(
         z2 = jnp.zeros((0, 0), jnp.float32)
         z1 = jnp.zeros((0,), jnp.float32)
         L_S = DDEqChol(L=DD(z2, z2), d=DD(z1, z1), LT=DD(z2, z2))
-    if structured:
+    if structured or (cg is not None and GT_s is not None):
         return DDKKTn(L_H=L_H, L_S=L_S, G_s=G_s, GT_s=GT_s, scaling=scaling)
     return DDKKTo(L_H=L_H, L_S=L_S, Ghat_s=Ghat_s, GhatT_s=GhatT_s,
                   scaling=scaling)

@@ -138,6 +138,45 @@ def dd_chol_solve(L: DD, B: DD, LT: DD | None = None) -> DD:
     return dd_solve_triangular(L, y, lower=False)
 
 
+def _tri_inv_from_base(L: DD, inv_diag: DD, base: int) -> DD:
+    """Lower-triangular inverse given the PRE-INVERTED diagonal blocks.
+
+    L: (npad, npad) dd lower-tri, npad = base * 2^k (identity tail beyond
+    the caller's real n); inv_diag: (npad/base, base, base) dd inverses of
+    L's diagonal blocks.  Fills the off-diagonal inverse blocks with
+    log2(npad/base) levels of batched Ozaki GEMMs (see dd_tri_inv)."""
+    from socp_tpu.ops.ozaki import dd_matmul
+
+    npad = L.hi.shape[-1]
+    nblk = npad // base
+
+    Xhi = jnp.zeros((npad, npad), jnp.float32)
+    Xlo = jnp.zeros((npad, npad), jnp.float32)
+    for i in range(nblk):
+        sl = slice(i * base, (i + 1) * base)
+        Xhi = Xhi.at[sl, sl].set(inv_diag.hi[i])
+        Xlo = Xlo.at[sl, sl].set(inv_diag.lo[i])
+    X = DD(Xhi, Xlo)
+
+    s = base
+    while s < npad:
+        offs = list(range(0, npad, 2 * s))
+        Ainv = DD(jnp.stack([X.hi[o:o + s, o:o + s] for o in offs]),
+                  jnp.stack([X.lo[o:o + s, o:o + s] for o in offs]))
+        Cinv = DD(jnp.stack([X.hi[o + s:o + 2 * s, o + s:o + 2 * s]
+                             for o in offs]),
+                  jnp.stack([X.lo[o + s:o + 2 * s, o + s:o + 2 * s]
+                             for o in offs]))
+        B = DD(jnp.stack([L.hi[o + s:o + 2 * s, o:o + s] for o in offs]),
+               jnp.stack([L.lo[o + s:o + 2 * s, o:o + s] for o in offs]))
+        off = jax.vmap(dd_matmul)(jax.vmap(dd_matmul)(Cinv, B), Ainv).neg()
+        for j, o in enumerate(offs):
+            X = DD(X.hi.at[o + s:o + 2 * s, o:o + s].set(off.hi[j]),
+                   X.lo.at[o + s:o + 2 * s, o:o + s].set(off.lo[j]))
+        s *= 2
+    return X
+
+
 def dd_tri_inv(L: DD, base: int = 32) -> DD:
     """Explicit inverse of a lower-triangular dd (n, n) matrix.
 
@@ -189,32 +228,98 @@ def dd_tri_inv(L: DD, base: int = 32) -> DD:
                    for i in range(nblk)]),
     )
     inv_diag = jax.vmap(_sub_inv)(diag)
-
-    Xhi = jnp.zeros((npad, npad), jnp.float32)
-    Xlo = jnp.zeros((npad, npad), jnp.float32)
-    for i in range(nblk):
-        sl = slice(i * base, (i + 1) * base)
-        Xhi = Xhi.at[sl, sl].set(inv_diag.hi[i])
-        Xlo = Xlo.at[sl, sl].set(inv_diag.lo[i])
-    X = DD(Xhi, Xlo)
-
-    s = base
-    while s < npad:
-        offs = list(range(0, npad, 2 * s))
-        Ainv = DD(jnp.stack([X.hi[o:o + s, o:o + s] for o in offs]),
-                  jnp.stack([X.lo[o:o + s, o:o + s] for o in offs]))
-        Cinv = DD(jnp.stack([X.hi[o + s:o + 2 * s, o + s:o + 2 * s]
-                             for o in offs]),
-                  jnp.stack([X.lo[o + s:o + 2 * s, o + s:o + 2 * s]
-                             for o in offs]))
-        B = DD(jnp.stack([L.hi[o + s:o + 2 * s, o:o + s] for o in offs]),
-               jnp.stack([L.lo[o + s:o + 2 * s, o:o + s] for o in offs]))
-        off = jax.vmap(dd_matmul)(jax.vmap(dd_matmul)(Cinv, B), Ainv).neg()
-        for j, o in enumerate(offs):
-            X = DD(X.hi.at[o + s:o + 2 * s, o:o + s].set(off.hi[j]),
-                   X.lo.at[o + s:o + 2 * s, o:o + s].set(off.lo[j]))
-        s *= 2
+    X = _tri_inv_from_base(L, inv_diag, base)
     return DD(X.hi[:n, :n], X.lo[:n, :n])
+
+
+def _pad_tri(L: DD, npad: int) -> DD:
+    """Embed a lower-triangular (n, n) dd into (npad, npad) with an
+    identity tail (inverse of the embedding = embedding of the inverse)."""
+    n = L.hi.shape[-1]
+    hi = jnp.zeros((npad, npad), jnp.float32).at[:n, :n].set(L.hi)
+    lo = jnp.zeros((npad, npad), jnp.float32).at[:n, :n].set(L.lo)
+    idx = jnp.arange(n, npad)
+    return DD(hi.at[idx, idx].set(1.0), lo)
+
+
+def dd_chol_tri_inv(H: DD, block: int = 32) -> DD:
+    """Triangular inverse Linv of the Cholesky factor of a symmetric PD
+    dd (n, n) matrix, built FUSED with the factorization.
+
+    Each panel's diagonal block is factored (unblocked dd Cholesky) and
+    IMMEDIATELY inverted by one base-size substitution, which turns the
+    panel solve L21 = A21 L11^-T into an MXU GEMM and hands the
+    triangular-inverse level merge its base-block inverses for free — the
+    separate vmapped base-inversion pass of dd_tri_inv (and the per-panel
+    substitution chains of dd_cholesky_blocked) disappear.
+
+    The SPD inverse is applied as TWO matvecs (Linv then Linv'), NOT as a
+    multiplied-out Hinv = Linv' Linv: the explicit Gram costs an extra
+    O(eps ||Linv||^2) rounding that measurably degrades Newton-direction
+    quality near mu ~ 1e-8 (observed: straggler instances needing ~60%
+    more lockstep iterations at the B=4096 contract), while the two-stage
+    apply stays at substitution-grade O(eps_dd * kappa) forward error.
+    """
+    from socp_tpu.ops.ozaki import dd_matmul
+
+    n = H.hi.shape[-1]
+    if n == 0:
+        return H
+
+    def _inv_small(Lb: DD) -> DD:
+        nn = Lb.hi.shape[-1]
+        eye = ddm.from_f32(jnp.eye(nn, dtype=jnp.float32))
+        return dd_solve_triangular(Lb, eye, lower=True)
+
+    def _vpad(x: DD, top: int) -> DD:
+        if not top:
+            return x
+        z = jnp.zeros((top, x.hi.shape[1]), x.hi.dtype)
+        return DD(jnp.concatenate([z, x.hi]), jnp.concatenate([z, x.lo]))
+
+    panels, invs = [], []
+    S = H
+    j0 = 0
+    while n - j0 > block:
+        b = block
+        L11 = dd_cholesky(S[:b, :b])
+        L11inv = _inv_small(L11)
+        L21 = dd_matmul(S[b:, :b], DD(L11inv.hi.T, L11inv.lo.T))
+        S = ddm.sub(S[b:, b:], dd_matmul(L21, L21.T))
+        panels.append(_vpad(DD(
+            jnp.concatenate([L11.hi, L21.hi]),
+            jnp.concatenate([L11.lo, L21.lo]),
+        ), j0))
+        invs.append(L11inv)
+        j0 += b
+    Lb = dd_cholesky(S)
+    panels.append(_vpad(Lb, j0))
+    invs.append(_inv_small(Lb))
+    L = DD(
+        jnp.concatenate([p.hi for p in panels], axis=1),
+        jnp.concatenate([p.lo for p in panels], axis=1),
+    )
+
+    if n <= block:
+        Linv = invs[0]
+    else:
+        # pad to base * 2^k and hand the level merge its base inverses
+        nb = -(-n // block)
+        k = (nb - 1).bit_length()
+        npad = block << k
+        Lp = _pad_tri(L, npad)
+        stack = []
+        for inv in invs:
+            bs = inv.hi.shape[-1]
+            stack.append(_pad_tri(inv, block) if bs < block else inv)
+        for _ in range(npad // block - len(stack)):
+            eye = ddm.from_f32(jnp.eye(block, dtype=jnp.float32))
+            stack.append(eye)
+        inv_diag = DD(jnp.stack([s_.hi for s_ in stack]),
+                      jnp.stack([s_.lo for s_ in stack]))
+        X = _tri_inv_from_base(Lp, inv_diag, block)
+        Linv = DD(X.hi[:n, :n], X.lo[:n, :n])
+    return Linv
 
 
 def dd_cholesky_blocked(H: DD, block: int = 32) -> DD:
