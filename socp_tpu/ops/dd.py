@@ -29,13 +29,29 @@ import threading
 _barrier_state = threading.local()
 
 
+@functools.cache
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _ob(x):
     """Optimization barrier: XLA's algebraic simplifier (notably on the CPU
     backend) rewrites float patterns like (a+b)-a -> b, which silently
     destroys error-free transformations.  Marking the pivot intermediates
     opaque blocks those rewrites at zero runtime cost; verified necessary
-    on the CPU backend (tests/test_dd.py)."""
-    if getattr(_barrier_state, "free", False):
+    on the CPU backend (tests/test_dd.py).
+
+    On the TPU backend the barriers are SKIPPED: XLA-TPU's pipeline was
+    verified bit-exact barrier-free (hi and lo words identical over 20k
+    adversarial-magnitude values through a fused add/mul/sub/div/sqrt dd
+    chain, and two_sum exactness holds), and the barriers are far from
+    free there — each one splits the fusion, so every dd op becomes its
+    own kernel launch (~100+ extra kernels per IPM iteration on the
+    batched path)."""
+    if getattr(_barrier_state, "free", False) or _tpu_backend():
         return x
     return jax.lax.optimization_barrier(x)
 
