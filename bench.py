@@ -52,36 +52,42 @@ _PEAKS = {
 }
 
 
-def _iteration_model(n, m, refine_steps=1):
+def _iteration_model(n, m, refine_steps=1, nb=2):
     """Per-instance per-lockstep-iteration cost model of the dd-native IPM
-    (kkt/dd_dense.py pipeline, p = 0 robust-LS shape).  Returns
-    (hbm_bytes, mxu_flops, vpu_flops).
+    (kkt/dd_dense.py SHIPPING pipeline: ConstGram assembly + fused
+    Cholesky/triangular-inverse + inverse-apply solves, p = 0 robust-LS
+    shape).  Returns (hbm_bytes, mxu_flops, vpu_flops).
 
-    Counted streams (dd = 8 B/elem (2xf32), slices = 7 bf16 arrays):
-      factor: scale_rows_Winv read+write (16mn), preslice Ghat + Ghat.T
-      (2 reads + 14 slice-writes = 44mn), Gram 28 pair-dots reading 2
-      slices each (112mn) + f32 diagonal partial traffic (~224n^2),
-      blocked dd Cholesky (~6 L passes, 48n^2);
-      solves: 2 Newton solves x (1+refine) KKT solves x 2 triangular
-      passes over dd L/LT (8 passes at refine=1, 64n^2) + ~14 presliced
-      matvecs reading 7 bf16 slices each (196mn);
-      cone sweeps: ~30 dd m-vectors (~500m, negligible).
+    Counted streams (dd = 8 B/elem (2xf32); a presliced matvec's 28
+    slice-pair dots read 2 B/elem 28x on the constant side = 56 B/elem):
+      m x n presliced matvecs: residuals (2) + per KKT solve GT/G (2 x
+      (1+refine+1) solves... affine 1 + combined 1+refine) + refinement
+      residual (2) + rank-correction columns U (1) -> 11 at refine=1
+      (616 mn B);
+      L-inverse applies: 2 per KKT solve x 3 solves over (n, n) slice
+      arrays (336 n^2 B);
+      factor: weighted ConstGram sum ((nb+2) x 8 n^2), equilibrate +
+      delta (~24 n^2), fused panel Cholesky + base inverses + level GEMMs
+      (~150 n^2), preslice Linv/Linv' (44 n^2);
+      cone sweeps + state carries: ~40 dd m-vector ops x ~4 operands
+      (~1300 m).
 
-    MXU: Gram 28 passes x 2n^2m + 14 matvecs x 28 x 2nm.
-    VPU: dd Cholesky ~25 f32 ops/dd-flop x n^3 (the right-looking masked
-    form does the full cube), substitutions 8 x 25n^2, two preslice peels
-    ~36mn, cone/elementwise ~300m.
+    MXU: matvecs 11 x 56nm + L-applies 6 x 56n^2 + chol/inv GEMMs
+    (n^3/3 dd-MACs x 28 bf16 passes x 2 = ~19 n^3).
+    VPU: unblocked 32-col panels ~800 n^2, base inversions + peels
+    ~100 n^2, cone/elementwise ~600 m.
 
     The constants are +-30%-grade: the model's job is to place the
     attainable ceiling within a small factor so perf work is guided by
     measured distance, not to be an exact simulator.
     """
-    solves = 2 * (1 + refine_steps)          # KKT solves per iteration
-    matvecs = 2 + 4 * refine_steps + 2 * solves
-    hbm = (16 + 44 + 112) * m * n + 14 * 2 * matvecs * m * n \
-        + (224 + 48 + 8 * 2 * solves * 4) * n * n
-    mxu = 28 * 2 * n * n * m + matvecs * 28 * 2 * n * m
-    vpu = 25 * n ** 3 + 2 * solves * 25 * n * n + 36 * m * n + 300 * m
+    solves = 2 + refine_steps                # KKT solves per iteration
+    matvecs = 2 + 2 * solves + 2 * refine_steps + 1
+    hbm = 56.0 * matvecs * m * n \
+        + (56 * 2 * solves + 8 * (nb + 2) + 24 + 150 + 44) * n * n \
+        + 1300.0 * m
+    mxu = 56.0 * matvecs * n * m + 56 * 2 * solves * n * n + 19.0 * n ** 3
+    vpu = 900.0 * n * n + 600.0 * m
     return float(hbm), float(mxu), float(vpu)
 
 
@@ -201,6 +207,9 @@ def main():
                     help="force the Pallas kernel dispatch (on = the "
                          "instance-tiled batched kernels on the lockstep "
                          "path; auto = config default)")
+    ap.add_argument("--refine-steps", type=int, default=None,
+                    help="iterative-refinement rounds per KKT solve "
+                         "(default: config default = 1)")
     ap.add_argument("--gondzio", type=int, default=None,
                     help="Gondzio centrality correctors per iteration "
                          "(default: auto = 1 on TPU native_dd; 0 disables; "
@@ -247,8 +256,12 @@ def main():
     fd = None if args.factor_dtype in ("none", "") else args.factor_dtype
     pallas = {None: None, "auto": None, "on": True, "off": False}[
         args.use_pallas]
+    kw = {}
+    if args.refine_steps is not None:
+        kw["refine_steps"] = args.refine_steps
     cfg = SolverConfig(factor_dtype=fd, native_dd=native_dd,
-                       use_pallas=pallas, gondzio_correctors=args.gondzio)
+                       use_pallas=pallas, gondzio_correctors=args.gondzio,
+                       **kw)
     c, G, h, dims = robust_ls_batch(0, batch=args.batch, n=args.n)
 
     chunk = min(args.chunk, args.batch)

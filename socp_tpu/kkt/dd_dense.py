@@ -432,8 +432,14 @@ def solve_dd(
     by: DD,
     bz: DD,
     aug_rho: float = 0.0,
-) -> tuple[DD, DD, DD]:
-    """One dd-native condensed back-solve (dd in, dd out)."""
+    want_Gdx: bool = False,
+):
+    """One dd-native condensed back-solve (dd in, dd out).
+
+    `want_Gdx=True` additionally returns the G dx matvec the dz mapping
+    already computes (structured path) so callers — the refinement
+    residual — don't pay it twice; the scaled-matrix path returns None
+    there (it only forms Ghat dx)."""
     p = A.hi.shape[0]
     if isinstance(kkt, DDKKTn):
         # structured: btx = bx + G' W^-2 bz;  dz = W^-2 (G dx - bz)
@@ -453,15 +459,16 @@ def solve_dd(
     else:
         dy = by
         dx = _scol(kkt.L_H.solve(_svec(btx)))
+    Gdx = None
     if isinstance(kkt, DDKKTn):
-        dz = dd_ops.apply_Winv2(
-            layout, kkt.scaling,
-            ddm.sub(sliced_matvec(kkt.G_s, dx), bz),
-        )
+        Gdx = sliced_matvec(kkt.G_s, dx)
+        dz = dd_ops.apply_Winv2(layout, kkt.scaling, ddm.sub(Gdx, bz))
     else:
         dz = dd_ops.apply_Winv(
             layout, kkt.scaling, ddm.sub(sliced_matvec(kkt.Ghat_s, dx), bhz)
         )
+    if want_Gdx:
+        return dx, dy, dz, Gdx
     return dx, dy, dz
 
 
@@ -492,7 +499,8 @@ def solve_refined_dd(
     handful of bf16 MXU passes, no f64 anywhere.
     """
     p = A.hi.shape[0]
-    dx, dy, dz = solve_dd(layout, kkt, A, bx, by, bz, aug_rho=aug_rho)
+    dx, dy, dz, Gdx = solve_dd(layout, kkt, A, bx, by, bz, aug_rho=aug_rho,
+                               want_Gdx=True)
     quality = jnp.zeros((), jnp.float32)
     if refine_steps <= 0:
         return dx, dy, dz, quality
@@ -509,10 +517,14 @@ def solve_refined_dd(
             rx = ddm.sub(rx, sliced_matvec(cm.P_s, dx))
         ry = by if not p else ddm.sub(by, sliced_matvec(cm.A_s, dx))
         WWdz = dd_ops.apply_W2(layout, kkt.scaling, dz)
-        rz = ddm.sub(bz, ddm.sub(sliced_matvec(cm.G_s, dx), WWdz))
+        if Gdx is None:
+            Gdx = sliced_matvec(cm.G_s, dx)
+        rz = ddm.sub(bz, ddm.sub(Gdx, WWdz))
         quality = jnp.sqrt(nrm2(rx) + nrm2(ry) + nrm2(rz)) / rhs_norm
-        ex, ey, ez = solve_dd(layout, kkt, A, rx, ry, rz, aug_rho=aug_rho)
+        ex, ey, ez, Gex = solve_dd(layout, kkt, A, rx, ry, rz,
+                                   aug_rho=aug_rho, want_Gdx=True)
         dx = ddm.add(dx, ex)
         dy = ddm.add(dy, ey)
         dz = ddm.add(dz, ez)
+        Gdx = ddm.add(Gdx, Gex) if Gex is not None else None
     return dx, dy, dz, quality
