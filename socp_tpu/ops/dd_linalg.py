@@ -242,7 +242,7 @@ def _pad_tri(L: DD, npad: int) -> DD:
     return DD(hi.at[idx, idx].set(1.0), lo)
 
 
-def dd_chol_tri_inv(H: DD, block: int = 32) -> DD:
+def dd_chol_tri_inv(H: DD, block: int = 64) -> DD:
     """Triangular inverse Linv of the Cholesky factor of a symmetric PD
     dd (n, n) matrix, built FUSED with the factorization.
 
@@ -259,6 +259,10 @@ def dd_chol_tri_inv(H: DD, block: int = 32) -> DD:
     quality near mu ~ 1e-8 (observed: straggler instances needing ~60%
     more lockstep iterations at the B=4096 contract), while the two-stage
     apply stays at substitution-grade O(eps_dd * kappa) forward error.
+
+    block=64 beats 32 at the contract shape (n=102: one merge level and
+    half the panel/stack copies for ~4x the masked unblocked work, which
+    the fused VPU sweeps absorb — measured 2206 vs 2048 solves/s).
     """
     from socp_tpu.ops.ozaki import dd_matmul
 
