@@ -173,10 +173,12 @@ def _kkt_split_ms(cfg, layout, Gp, B, n, reps=2):
         dx, _, _ = v_solve(kkt0, v)
         return v * 0.5 + 0.5 * dx.hi
 
-    # K=5 vs K=1 (marginal over 4 applications) to keep the difference
-    # well above timer noise; clamp at 0 for pathological contention
-    factor_ms = max(0.0, (timed(f_factor, s, 5) - timed(f_factor, s, 1)) / 4)
-    solve_ms = max(0.0, (timed(f_solve, v0, 5) - timed(f_solve, v0, 1)) / 4)
+    # long-K marginals: the fused back-solve is now ~0.2 ms per chunk, so
+    # the K=5-vs-1 difference (0.8 ms) drowned in the ~few-ms tunnel
+    # timing jitter and could print 0.0; 33-vs-1 puts the solve marginal
+    # at ~7 ms, well clear of it.  Clamp at 0 for pathological contention.
+    factor_ms = max(0.0, (timed(f_factor, s, 9) - timed(f_factor, s, 1)) / 8)
+    solve_ms = max(0.0, (timed(f_solve, v0, 33) - timed(f_solve, v0, 1)) / 32)
     return factor_ms, solve_ms              # per-chunk (B-instance) ms
 
 
